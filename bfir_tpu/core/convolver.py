@@ -1,0 +1,251 @@
+"""Partitioned overlap-save FFT convolution — the engine core.
+
+TPU-native re-design of the reference's convolution pipeline
+(``brutefir/fftw_convolver.{cpp,hpp}`` + the per-block engine loop
+``brutefir::run``, brutefir.cpp:244-343):
+
+reference (C++/FFTW, per channel, per block)          this module (JAX, all channels at once)
+-----------------------------------------------      ---------------------------------------
+convolver_raw2cbuf: prev block in lower half,         ``jnp.concatenate([prev, block])`` -> rfft
+  new block in upper half (fftw_convolver.cpp:156)
+convolver_time2freq: r2r halfcomplex FFT (:187)       ``jnp.fft.rfft`` (natural complex layout —
+convolver_mixnscale: scramble into 4r/4i SIMD           the reference's scrambled "cbuf" layout is
+  groups + scale (:858-1427)                            an x86-SSE artifact and is not reproduced)
+convolver_convolve(_add): complex MAC over            gather of delayed ring spectra + einsum MAC
+  partitions vs ring of delayed input spectra           over the partition axis (psum-able)
+  (brutefir.cpp:279-300)
+convolver_freq2time + take first half (:350,:405)     ``jnp.fft.irfft`` + take second half (we keep
+                                                        the filter in the *lower* half of the padded
+                                                        buffer, so the valid half is the upper one;
+                                                        mathematically identical to the reference's
+                                                        upper-half placement, coeffs2cbuf :474-537)
+FFTW plans + wisdom files (:81-137)                   XLA compilation cache (nothing to manage)
+
+State is a pytree of device arrays; one ``step`` is one jitted computation over
+all channels. The FFT normalization 1/n_fft that the reference folds into the
+coefficient spectra (fftw_convolver.cpp:521-523) is here provided by
+``irfft``'s 1/N convention — net unit gain either way.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bfir_tpu.core.spec import FilterSpec
+
+
+class ConvolverState(NamedTuple):
+    """Streaming state (the TPU equivalent of brutefir's buffer arena,
+    brutefir.cpp:738-810).
+
+    spectra_ring: [P, C, F] complex — ring of the last P input-block spectra
+        (reference: ``cbuf[n][blockcounter % n_blocks]``, brutefir.cpp:270-277).
+        Slot ``blockcounter % P`` holds the newest spectrum.
+    prev_block:   [C, N] real — previous time-domain input block (the lower
+        half of the reference's double-buffered ``input_timecbuf``).
+    blockcounter: int32 scalar (brutefir.hpp blockcounter; wraps like the
+        reference's unsigned counter — irrelevant before ~2^31 blocks).
+    """
+
+    spectra_ring: jax.Array
+    prev_block: jax.Array
+    blockcounter: jax.Array
+
+
+def init_state(spec: FilterSpec, n_channels: int) -> ConvolverState:
+    """Fresh zeroed state (== reference reset(), brutefir.cpp:345-367).
+
+    The reference skips cold partitions during warm-up via ``procblocks``
+    (brutefir.cpp:265-268,292). We zero-initialize the ring instead, which
+    makes cold partitions contribute exactly zero — same outputs, no
+    data-dependent control flow for XLA.
+    """
+    cdt = jnp.dtype(spec.complex_dtype)
+    rdt = jnp.dtype(spec.dtype)
+    return ConvolverState(
+        spectra_ring=jnp.zeros((spec.n_partitions, n_channels, spec.n_freq), dtype=cdt),
+        prev_block=jnp.zeros((n_channels, spec.block_length), dtype=rdt),
+        blockcounter=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def coeffs_to_spectra(impulse, spec: FilterSpec, scale: float = 1.0) -> jax.Array:
+    """Split an impulse response into per-partition spectra.
+
+    Reference: ``coeff::preprocess_coeff`` (coeff.cpp:292-354) calling
+    ``convolver_coeffs2cbuf`` per block (fftw_convolver.cpp:474-537): each
+    N-tap slice is zero-padded to 2N and FFT'd. The reference zero-pads the
+    tail of the last partition; impulses longer than P*N are truncated
+    (coeff.cpp:292-354 semantics).
+
+    impulse: [taps] (shared across channels) or [C, taps].
+    Returns [P, C, F] complex (C=1 for shared; broadcasting happens in step).
+    """
+    h = jnp.asarray(impulse, dtype=spec.dtype) * jnp.asarray(scale, dtype=spec.dtype)
+    if h.ndim == 1:
+        h = h[None, :]
+    c, taps = h.shape
+    n, p = spec.block_length, spec.n_partitions
+    if taps > n * p:
+        h = h[:, : n * p]
+    else:
+        h = jnp.pad(h, ((0, 0), (0, n * p - taps)))
+    parts = h.reshape(c, p, n).transpose(1, 0, 2)  # [P, C, N]
+    # filter slice in the lower half of the 2N frame -> valid output is the
+    # upper half after irfft (see module docstring for the half-placement note)
+    return jnp.fft.rfft(parts, n=spec.n_fft, axis=-1)
+
+
+def _delayed_ring(ring: jax.Array, blockcounter: jax.Array) -> jax.Array:
+    """gathered[i] = ring[(blockcounter - i) mod P] — partition i sees the
+    input spectrum delayed by i blocks (brutefir.cpp:292-299)."""
+    p = ring.shape[0]
+    idx = jnp.mod(blockcounter - jnp.arange(p, dtype=jnp.int32), p)
+    return jnp.take(ring, idx, axis=0)
+
+
+def step(
+    state: ConvolverState,
+    coeff_spectra: jax.Array,
+    block: jax.Array,
+) -> Tuple[ConvolverState, jax.Array]:
+    """Process one N-frame block through the partitioned convolver.
+
+    The TPU equivalent of one ``brutefir::run`` call (brutefir.cpp:244-343),
+    minus raw-format conversion/dither (those live in ``ops.formats``): all
+    channels are processed as one tensor computation.
+
+    coeff_spectra: [P, C, F] or [P, 1, F] complex.
+    block: [C, N] real input frames.
+    Returns (new_state, out [C, N]).
+    """
+    n = block.shape[-1]
+    block = block.astype(state.prev_block.dtype)
+    frame = jnp.concatenate([state.prev_block, block], axis=-1)  # [C, 2N]
+    x = jnp.fft.rfft(frame, axis=-1)  # [C, F]
+
+    pos = jnp.mod(state.blockcounter, state.spectra_ring.shape[0])
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.spectra_ring, x[None], (pos, zero, zero))
+
+    gathered = _delayed_ring(ring, state.blockcounter)  # [P, C, F]
+    y = jnp.sum(coeff_spectra * gathered, axis=0)  # MAC over partitions -> [C, F]
+
+    out = jnp.fft.irfft(y, axis=-1)[..., n:]  # valid upper half
+
+    new_state = ConvolverState(
+        spectra_ring=ring,
+        prev_block=block,
+        blockcounter=state.blockcounter + 1,
+    )
+    return new_state, out
+
+
+def process_blocks(
+    state: ConvolverState,
+    coeff_spectra: jax.Array,
+    blocks: jax.Array,
+) -> Tuple[ConvolverState, jax.Array]:
+    """Streaming-exact processing of ``blocks`` [B, C, N] via ``lax.scan``.
+
+    Bit-identical semantics to B successive ``step`` calls.
+    """
+
+    def body(st, blk):
+        return step(st, coeff_spectra, blk)
+
+    return jax.lax.scan(body, state, blocks)
+
+
+def process_batch(
+    state: ConvolverState,
+    coeff_spectra: jax.Array,
+    blocks: jax.Array,
+) -> Tuple[ConvolverState, jax.Array]:
+    """High-throughput batched processing of ``blocks`` [B, C, N].
+
+    Same outputs as ``process_blocks`` (up to fp rounding), restructured for
+    the hardware: all B block FFTs are batched, and the partition MAC — a
+    causal convolution along the block index, Y[b] = sum_p H[p] X[b-p] — is
+    evaluated with a second FFT *over the block axis* (convolution theorem),
+    turning the O(B*P) MAC into O((B+P) log(B+P)) batched muls. This is the
+    offline/bulk path; ``step`` is the one-block-latency path.
+    """
+    p, _, f = coeff_spectra.shape
+    b, c, n = blocks.shape
+    blocks = blocks.astype(state.prev_block.dtype)
+
+    # Overlapped 2N frames: frame[i] = [block_{i-1} | block_i]
+    prev = jnp.concatenate([state.prev_block[None], blocks[:-1]], axis=0)  # [B, C, N]
+    frames = jnp.concatenate([prev, blocks], axis=-1)  # [B, C, 2N]
+    x = jnp.fft.rfft(frames, axis=-1)  # [B, C, F]
+
+    # History: spectra for delays 1..P-1 relative to the first new block,
+    # ordered oldest-first so xpad[k] is the spectrum of block index k-(P-1).
+    hist_idx = jnp.mod(
+        state.blockcounter - jnp.arange(p - 1, 0, -1, dtype=jnp.int32) + p,
+        p,
+    )
+    hist = jnp.take(state.spectra_ring, hist_idx, axis=0) if p > 1 else x[:0]
+    xpad = jnp.concatenate([hist, x], axis=0)  # [B+P-1, C, F]
+
+    # Causal conv along block axis via FFT (zero-pad to L >= B+P-1 + P-1 to
+    # avoid circular wrap of the history tail).
+    l = int(2 ** np.ceil(np.log2(max(b + 2 * (p - 1), 2))))
+    xs = jnp.fft.fft(xpad, n=l, axis=0)
+    hs = jnp.fft.fft(coeff_spectra, n=l, axis=0)
+    y_all = jnp.fft.ifft(xs * hs, axis=0)  # [L, C, F]
+    # output block b corresponds to xpad index (P-1)+b
+    y = y_all[p - 1 : p - 1 + b]
+
+    out = jnp.fft.irfft(y, axis=-1)[..., n:]  # [B, C, N]
+
+    # New ring state: the last P spectra among xpad, placed at their slots.
+    counters = state.blockcounter + jnp.arange(b, dtype=jnp.int32)
+    if p > 1:
+        tail_counters = jnp.concatenate(
+            [state.blockcounter - jnp.arange(p - 1, 0, -1, dtype=jnp.int32), counters]
+        )
+    else:
+        tail_counters = counters
+    last = xpad[-p:] if xpad.shape[0] >= p else xpad
+    last_counters = tail_counters[-p:]
+    ring = state.spectra_ring
+    slots = jnp.mod(last_counters, p)
+    ring = ring.at[slots].set(last[: slots.shape[0]])
+
+    new_state = ConvolverState(
+        spectra_ring=ring,
+        prev_block=blocks[-1],
+        blockcounter=state.blockcounter + b,
+    )
+    return new_state, out
+
+
+def direct_convolve_spectra(
+    impulse_a, impulse_b, max_taps: Optional[int] = None, dtype=jnp.float64
+):
+    """Compose two impulses by direct spectral multiplication.
+
+    The reference composes filter chains by streaming one impulse through a
+    brutefir instance whose coefficients are the other
+    (``preprocessor::convolve_impulses``, preprocessor.cpp:33-233) — block-wise
+    circular machinery for what is mathematically a single linear convolution.
+    We do the single full-length FFT convolution directly.
+    """
+    a = jnp.asarray(impulse_a, dtype=dtype)
+    b = jnp.asarray(impulse_b, dtype=dtype)
+    out_len = a.shape[-1] + b.shape[-1] - 1
+    nfft = int(2 ** np.ceil(np.log2(max(out_len, 2))))
+    y = jnp.fft.irfft(
+        jnp.fft.rfft(a, n=nfft, axis=-1) * jnp.fft.rfft(b, n=nfft, axis=-1),
+        n=nfft,
+        axis=-1,
+    )[..., :out_len]
+    if max_taps is not None:
+        y = y[..., :max_taps]
+    return y
