@@ -8,13 +8,13 @@ reference (C++/FFTW, per channel, per block)          this module (JAX, all chan
 -----------------------------------------------      ---------------------------------------
 convolver_raw2cbuf: prev block in lower half,         ``jnp.concatenate([prev, block])`` -> rfft
   new block in upper half (fftw_convolver.cpp:156)
-convolver_time2freq: r2r halfcomplex FFT (:187)       ``jnp.fft.rfft`` (natural complex layout —
+convolver_time2freq: r2r halfcomplex FFT (:187)       ``F.rfft`` (natural complex layout —
 convolver_mixnscale: scramble into 4r/4i SIMD           the reference's scrambled "cbuf" layout is
   groups + scale (:858-1427)                            an x86-SSE artifact and is not reproduced)
 convolver_convolve(_add): complex MAC over            gather of delayed ring spectra + einsum MAC
   partitions vs ring of delayed input spectra           over the partition axis (psum-able)
   (brutefir.cpp:279-300)
-convolver_freq2time + take first half (:350,:405)     ``jnp.fft.irfft`` + take second half (we keep
+convolver_freq2time + take first half (:350,:405)     ``F.irfft`` + take second half (we keep
                                                         the filter in the *lower* half of the padded
                                                         buffer, so the valid half is the upper one;
                                                         mathematically identical to the reference's
@@ -34,6 +34,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from bfir_tpu.ops import fft as F
 
 from bfir_tpu.core.spec import FilterSpec
 
@@ -67,7 +69,7 @@ def init_state(spec: FilterSpec, n_channels: int) -> ConvolverState:
     cdt = jnp.dtype(spec.complex_dtype)
     rdt = jnp.dtype(spec.dtype)
     return ConvolverState(
-        spectra_ring=jnp.zeros((spec.n_partitions, n_channels, spec.n_freq), dtype=cdt),
+        spectra_ring=F.czeros((spec.n_partitions, n_channels, spec.n_freq), dtype=cdt),
         prev_block=jnp.zeros((n_channels, spec.block_length), dtype=rdt),
         blockcounter=jnp.zeros((), dtype=jnp.int32),
     )
@@ -97,7 +99,7 @@ def coeffs_to_spectra(impulse, spec: FilterSpec, scale: float = 1.0) -> jax.Arra
     parts = h.reshape(c, p, n).transpose(1, 0, 2)  # [P, C, N]
     # filter slice in the lower half of the 2N frame -> valid output is the
     # upper half after irfft (see module docstring for the half-placement note)
-    return jnp.fft.rfft(parts, n=spec.n_fft, axis=-1)
+    return F.rfft(parts, n=spec.n_fft, axis=-1)
 
 
 def _delayed_ring(ring: jax.Array, blockcounter: jax.Array) -> jax.Array:
@@ -126,7 +128,7 @@ def step(
     n = block.shape[-1]
     block = block.astype(state.prev_block.dtype)
     frame = jnp.concatenate([state.prev_block, block], axis=-1)  # [C, 2N]
-    x = jnp.fft.rfft(frame, axis=-1)  # [C, F]
+    x = F.rfft(frame, axis=-1)  # [C, F]
 
     pos = jnp.mod(state.blockcounter, state.spectra_ring.shape[0])
     zero = jnp.zeros((), dtype=pos.dtype)
@@ -135,7 +137,7 @@ def step(
     gathered = _delayed_ring(ring, state.blockcounter)  # [P, C, F]
     y = jnp.sum(coeff_spectra * gathered, axis=0)  # MAC over partitions -> [C, F]
 
-    out = jnp.fft.irfft(y, axis=-1)[..., n:]  # valid upper half
+    out = F.irfft(y, axis=-1)[..., n:]  # valid upper half
 
     new_state = ConvolverState(
         spectra_ring=ring,
@@ -182,7 +184,7 @@ def process_batch(
     # Overlapped 2N frames: frame[i] = [block_{i-1} | block_i]
     prev = jnp.concatenate([state.prev_block[None], blocks[:-1]], axis=0)  # [B, C, N]
     frames = jnp.concatenate([prev, blocks], axis=-1)  # [B, C, 2N]
-    x = jnp.fft.rfft(frames, axis=-1)  # [B, C, F]
+    x = F.rfft(frames, axis=-1)  # [B, C, F]
 
     # History: spectra for delays 1..P-1 relative to the first new block,
     # ordered oldest-first so xpad[k] is the spectrum of block index k-(P-1).
@@ -196,13 +198,13 @@ def process_batch(
     # Causal conv along block axis via FFT (zero-pad to L >= B+P-1 + P-1 to
     # avoid circular wrap of the history tail).
     l = int(2 ** np.ceil(np.log2(max(b + 2 * (p - 1), 2))))
-    xs = jnp.fft.fft(xpad, n=l, axis=0)
-    hs = jnp.fft.fft(coeff_spectra, n=l, axis=0)
-    y_all = jnp.fft.ifft(xs * hs, axis=0)  # [L, C, F]
+    xs = F.fft(xpad, n=l, axis=0)
+    hs = F.fft(coeff_spectra, n=l, axis=0)
+    y_all = F.ifft(xs * hs, axis=0)  # [L, C, F]
     # output block b corresponds to xpad index (P-1)+b
     y = y_all[p - 1 : p - 1 + b]
 
-    out = jnp.fft.irfft(y, axis=-1)[..., n:]  # [B, C, N]
+    out = F.irfft(y, axis=-1)[..., n:]  # [B, C, N]
 
     # New ring state: the last P spectra among xpad, placed at their slots.
     counters = state.blockcounter + jnp.arange(b, dtype=jnp.int32)
@@ -241,8 +243,8 @@ def direct_convolve_spectra(
     b = jnp.asarray(impulse_b, dtype=dtype)
     out_len = a.shape[-1] + b.shape[-1] - 1
     nfft = int(2 ** np.ceil(np.log2(max(out_len, 2))))
-    y = jnp.fft.irfft(
-        jnp.fft.rfft(a, n=nfft, axis=-1) * jnp.fft.rfft(b, n=nfft, axis=-1),
+    y = F.irfft(
+        F.rfft(a, n=nfft, axis=-1) * F.rfft(b, n=nfft, axis=-1),
         n=nfft,
         axis=-1,
     )[..., :out_len]

@@ -19,7 +19,7 @@ TPU-native (vectorized jnp) equivalent of the reference's ``brutefir/equalizer.c
 
 The reference builds the FFTW halfcomplex buffer by hand and runs an
 unnormalized HC2R plan with a folded 1/taps scale (equalizer.cpp:235-263);
-``jnp.fft.irfft`` has the same sign convention with the normalization built
+``F.irfft`` has the same sign convention with the normalization built
 in, so the impulse here is bit-equivalent up to fp rounding.
 
 Divergence (documented): the reference converts band phase "degrees" to
@@ -39,8 +39,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from bfir_tpu.ops import fft as F
 
 # ISO 1/3-octave center frequencies, Hz (equalizer.hpp:17-50).
 ISO_BANDS = (
@@ -111,12 +114,11 @@ def synthesize_spectrum(
     mag = cosine_int(gm_j[lo], gm_j[hi])
     rad = -taps * jnp.pi * curfreq + cosine_int(gp_j[lo], gp_j[hi])
 
-    cdt = jnp.complex64 if dtype in (jnp.float32, np.float32) else jnp.complex128
-    spectrum = jnp.zeros(half + 1, dtype=cdt)
-    spectrum = spectrum.at[0].set(gm_j[0].astype(cdt))
-    spectrum = spectrum.at[half].set(gm_j[-1].astype(cdt))
-    spectrum = spectrum.at[1:half].set((mag * jnp.exp(1j * rad)).astype(cdt))
-    return spectrum
+    # build as split re/im and combine on device (complex arrays must be
+    # device-born on the axon TPU backend — see ops.fft compat helpers)
+    re = jnp.concatenate([gm_j[0:1], mag * jnp.cos(rad), gm_j[-1:]])
+    im = jnp.concatenate([jnp.zeros(1, dtype), mag * jnp.sin(rad), jnp.zeros(1, dtype)])
+    return jax.lax.complex(re, im)
 
 
 def render_fir(
@@ -139,7 +141,7 @@ def render_fir(
     spectrum = synthesize_spectrum(
         taps, band_freqs_hz, band_mags_db, sample_rate, band_phases_deg, dtype=dtype
     )
-    impulse = jnp.fft.irfft(spectrum, n=taps)
+    impulse = F.irfft(spectrum, n=taps)
     return impulse[taps // 2 :].astype(dtype)
 
 

@@ -1,0 +1,204 @@
+"""FFT provider: XLA FFT where available, matmul-DFT on the MXU elsewhere.
+
+The reference leans on FFTW's r2r halfcomplex transforms with wisdom tuning
+(``fftw_convolver.cpp:51-137,653-695``). On TPU there are two substitutes:
+
+1. ``jnp.fft`` (XLA's FFT op) — available on CPU, but **unimplemented on the
+   axon TPU backend this image targets** (probed: ``jnp.fft.rfft`` raises
+   UNIMPLEMENTED).
+2. DFT-as-matmul on the MXU: X = x @ W with precomputed trig weight
+   matrices. For the engine's moderate sizes (2N = 2048 at plugin defaults)
+   the 128x128 systolic array executes these dense [B, M] @ [M, F] products
+   at near-peak; batching over channels/blocks gives the MXU its favorite
+   shape. Asymptotically more FLOPs than O(M log M), but on this hardware a
+   single dense matmul at ~peak beats an FFT's gather/permute stages for
+   M up to tens of thousands. A split-radix (Bailey four-step) matmul
+   factorization is the follow-up for large M (kernels/).
+
+Dispatch is at trace time via ``jax.default_backend()``; tests force the
+matmul path explicitly to validate it against numpy on CPU.
+
+All transforms follow numpy conventions: ``rfft``/``irfft`` over the last
+axis with irfft carrying the 1/N normalization (the reference folds 1/n_fft
+into its coefficient spectra instead, fftw_convolver.cpp:521-523 — same net
+gain), and ``fft``/``ifft`` over an arbitrary axis for the block-axis
+convolution in ``core.convolver.process_batch``.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Force mode for tests/benchmarks: "auto" | "xla" | "matmul"
+_FORCE = os.environ.get("BFIR_FFT_MODE", "auto")
+
+
+def set_mode(mode: str) -> None:
+    global _FORCE
+    if mode not in ("auto", "xla", "matmul"):
+        raise ValueError(mode)
+    _FORCE = mode
+
+
+def _use_matmul() -> bool:
+    if _FORCE == "matmul":
+        return True
+    if _FORCE == "xla":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=32)
+def _rdft_weights(m: int, dtype: str):
+    """Real-input DFT weights: cos/sin matrices [M, M//2+1]."""
+    n = np.arange(m)[:, None]
+    k = np.arange(m // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / m
+    return (np.cos(ang).astype(dtype), np.sin(ang).astype(dtype))
+
+
+@functools.lru_cache(maxsize=32)
+def _irdft_weights(m: int, dtype: str):
+    """Inverse real DFT weights [M//2+1, M] for real output.
+
+    x[n] = 1/M * sum_k w_k * (Re X_k cos(2pi k n/M) - Im X_k sin(2pi k n/M)),
+    w_0 = w_{M/2} = 1, else 2.
+    """
+    f = m // 2 + 1
+    k = np.arange(f)[:, None]
+    n = np.arange(m)[None, :]
+    ang = 2.0 * np.pi * k * n / m
+    w = np.full((f, 1), 2.0)
+    w[0, 0] = 1.0
+    if m % 2 == 0:
+        w[-1, 0] = 1.0
+    wr = (w * np.cos(ang) / m).astype(dtype)
+    wi = (-w * np.sin(ang) / m).astype(dtype)
+    return wr, wi
+
+
+@functools.lru_cache(maxsize=32)
+def _cdft_weights(m: int, dtype: str, inverse: bool):
+    n = np.arange(m)[:, None]
+    k = np.arange(m)[None, :]
+    sign = 2.0 if inverse else -2.0
+    ang = sign * np.pi * n * k / m
+    scale = (1.0 / m) if inverse else 1.0
+    return (np.cos(ang).astype(dtype) * scale, np.sin(ang).astype(dtype) * scale)
+
+
+def _pad_last(x, n: int):
+    if x.shape[-1] == n:
+        return x
+    if x.shape[-1] > n:
+        return x[..., :n]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def rfft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
+    if not _use_matmul():
+        return jnp.fft.rfft(x, n=n, axis=axis)
+    if axis != -1 and axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(rfft(x, n=n, axis=-1), -1, axis)
+    m = n or x.shape[-1]
+    x = _pad_last(x, m)
+    dt = x.dtype.name
+    cr, ci = _rdft_weights(m, dt)
+    xr = jnp.matmul(x, jnp.asarray(cr), precision=_MATMUL_PRECISION)
+    xi = jnp.matmul(x, jnp.asarray(ci), precision=_MATMUL_PRECISION)
+    return jax.lax.complex(xr, xi)
+
+
+def irfft(y: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
+    if not _use_matmul():
+        return jnp.fft.irfft(y, n=n, axis=axis)
+    if axis != -1 and axis != y.ndim - 1:
+        y = jnp.moveaxis(y, axis, -1)
+        return jnp.moveaxis(irfft(y, n=n, axis=-1), -1, axis)
+    m = n or 2 * (y.shape[-1] - 1)
+    f = m // 2 + 1
+    if y.shape[-1] != f:
+        y = _pad_last(y, f)
+    rdt = "float32" if y.dtype == jnp.complex64 else "float64"
+    wr, wi = _irdft_weights(m, rdt)
+    out = jnp.matmul(jnp.real(y), jnp.asarray(wr), precision=_MATMUL_PRECISION)
+    out = out + jnp.matmul(jnp.imag(y), jnp.asarray(wi), precision=_MATMUL_PRECISION)
+    return out
+
+
+def _cfft(y: jax.Array, n: Optional[int], axis: int, inverse: bool) -> jax.Array:
+    if not _use_matmul():
+        fn = jnp.fft.ifft if inverse else jnp.fft.fft
+        return fn(y, n=n, axis=axis)
+    if axis != -1 and axis != y.ndim - 1:
+        y = jnp.moveaxis(y, axis, -1)
+        return jnp.moveaxis(_cfft(y, n, -1, inverse), -1, axis)
+    m = n or y.shape[-1]
+    y = _pad_last(y, m)
+    cdt = y.dtype
+    rdt = "float32" if cdt == jnp.complex64 else "float64"
+    cr, ci = _cdft_weights(m, rdt, inverse)
+    cr = jnp.asarray(cr)
+    ci = jnp.asarray(ci)
+    yr, yi = jnp.real(y), jnp.imag(y)
+    out_r = (
+        jnp.matmul(yr, cr, precision=_MATMUL_PRECISION)
+        - jnp.matmul(yi, ci, precision=_MATMUL_PRECISION)
+    )
+    out_i = (
+        jnp.matmul(yr, ci, precision=_MATMUL_PRECISION)
+        + jnp.matmul(yi, cr, precision=_MATMUL_PRECISION)
+    )
+    return jax.lax.complex(out_r, out_i)
+
+
+def fft(y, n=None, axis=-1):
+    return _cfft(jnp.asarray(y, dtype=jnp.result_type(y, 1j)), n, axis, inverse=False)
+
+
+def ifft(y, n=None, axis=-1):
+    return _cfft(jnp.asarray(y, dtype=jnp.result_type(y, 1j)), n, axis, inverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Complex-dtype compatibility helpers.
+#
+# The axon TPU backend supports complex *compute* on device but not complex
+# host<->device transfers, and eager ``jnp.zeros(..., complex)`` materializes
+# a host constant and transfers it (probed: UNIMPLEMENTED). These helpers
+# keep complex arrays device-born and split them for any host crossing.
+# ---------------------------------------------------------------------------
+
+
+def czeros(shape, dtype=jnp.complex64) -> jax.Array:
+    """Device-born complex zeros (never crosses the host boundary)."""
+    rdt = jnp.float32 if jnp.dtype(dtype) == jnp.complex64 else jnp.float64
+    z = jnp.zeros(shape, dtype=rdt)
+    return jax.lax.complex(z, z)
+
+
+def to_numpy(x) -> np.ndarray:
+    """Fetch any device array to host, splitting complex transfers."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
+
+
+def from_numpy_complex(x: np.ndarray) -> jax.Array:
+    """Put a host complex array on device via two real transfers."""
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.complexfloating):
+        return jnp.asarray(x)
+    return jax.lax.complex(jnp.asarray(np.real(x)), jnp.asarray(np.imag(x)))

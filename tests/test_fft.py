@@ -1,0 +1,83 @@
+"""Matmul-DFT provider validated against numpy FFT on CPU.
+
+The axon TPU backend has no XLA FFT (probed: UNIMPLEMENTED), so the engine
+ships its own MXU matmul-DFT; these tests force that path and compare with
+numpy's FFT at tight tolerances.
+"""
+
+import numpy as np
+import pytest
+
+from bfir_tpu.ops import fft as F
+
+
+@pytest.fixture(autouse=True)
+def force_matmul():
+    F.set_mode("matmul")
+    yield
+    F.set_mode("auto")
+
+
+@pytest.mark.parametrize("m", [8, 64, 256, 2048])
+@pytest.mark.parametrize("dtype,atol", [(np.float64, 1e-10), (np.float32, 2e-3)])
+def test_rfft_matches_numpy(m, dtype, atol):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, m)).astype(dtype)
+    got = np.asarray(F.rfft(x))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(got, ref, atol=atol * m)
+
+
+@pytest.mark.parametrize("m", [8, 64, 2048])
+def test_irfft_roundtrip(m):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, m))
+    back = np.asarray(F.irfft(F.rfft(x), n=m))
+    np.testing.assert_allclose(back, x, atol=1e-10)
+
+
+def test_rfft_with_padding():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 100))
+    got = np.asarray(F.rfft(x, n=256))
+    ref = np.fft.rfft(x, n=256, axis=-1)
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_cfft_axis0_matches_numpy():
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((16, 4, 9)) + 1j * rng.standard_normal((16, 4, 9))
+    got = np.asarray(F.fft(y, n=32, axis=0))
+    ref = np.fft.fft(y, n=32, axis=0)
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+    got_i = np.asarray(F.ifft(got, axis=0))
+    ref_i = np.fft.ifft(ref, axis=0)
+    np.testing.assert_allclose(got_i, ref_i, atol=1e-10)
+
+
+def test_odd_irfft_length():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((1, 64))
+    y = np.fft.rfft(x, axis=-1)
+    got = np.asarray(F.irfft(y.astype(np.complex128), n=64))
+    np.testing.assert_allclose(got, x, atol=1e-10)
+
+
+def test_convolver_on_matmul_fft():
+    # whole-engine check on the matmul-DFT path (what the TPU executes)
+    from scipy import signal
+
+    from bfir_tpu.core import convolver as cv
+    from bfir_tpu.core.spec import FilterSpec
+
+    rng = np.random.default_rng(5)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    x = rng.standard_normal((2, 128 * 8))
+    h = rng.standard_normal(512)
+    state = cv.init_state(spec, 2)
+    coeffs = cv.coeffs_to_spectra(h, spec)
+    blocks = x.reshape(2, 8, 128).transpose(1, 0, 2)
+    state, out = cv.process_batch(state, coeffs, blocks)
+    y = np.asarray(out).transpose(1, 0, 2).reshape(2, -1)
+    ref = np.stack([signal.fftconvolve(x[i], h)[: x.shape[-1]] for i in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
