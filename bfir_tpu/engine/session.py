@@ -1,0 +1,229 @@
+"""Streaming session: the host-application layer of the engine.
+
+TPU-native equivalent of the plugin's DSP object ``dsp_bfir``
+(foo_dsp_bfir/foo_dsp_bfir.cpp:76-410):
+
+reference                                        here
+---------                                        ----
+lazy (re)init on channel/rate change (:112-140)  ``_initialize`` on first
+                                                   process() or format change
+chain build: EQ render + impulse load/resample   ``engine.chain.build_chain``
+  + preconvolve (:150-262)
+brutefir instance + set_coeff (:279-289)         jitted ``core.convolver.step``
+                                                   with donated state
+re-block loop accumulating 1024 frames (:303-351)  pending-buffer re-blocking
+NaN/Inf abort (brutefir.cpp:313-321)             first-sample finite check on
+                                                   each fetched block; engine
+                                                   drops to passthrough
+overflow accounting + check_overflows            ``ops.dither.OverflowStats``
+  (:337-340, brutefir.cpp:370-388)                 + ``check_overflows()``
+passthrough when unconfigured/failed (:352-357)  same
+flush() drops the partial block (:367-370)       same
+get_latency() returns 0 (:372-375)               ``reported_latency = 0``
+                                                   (parity quirk; the true
+                                                   algorithmic latency is one
+                                                   block and is exposed as
+                                                   ``algorithmic_latency``)
+
+Config handling: the reference mutates global cfg_* vars from two threads
+with no locking (SURVEY.md §5); here a config snapshot is immutable and
+``reconfigure(new_config)`` swaps it atomically, taking effect at the next
+block boundary (stronger than the reference, which applies changes only on
+the next format change).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from bfir_tpu.core import convolver as cv
+from bfir_tpu.core.spec import EngineConfig, FilterSpec, SampleFormat, StreamSpec
+from bfir_tpu.engine.cache import ArtifactCache
+from bfir_tpu.engine.chain import build_chain
+from bfir_tpu.ops import dither as dth
+from bfir_tpu.ops import formats as fm
+from bfir_tpu.utils.logging import pinfo
+
+
+class StreamProcessor:
+    def __init__(self, config: EngineConfig, cache: Optional[ArtifactCache] = None):
+        self.config = config
+        self.cache = cache or ArtifactCache()
+        self._channels = 0
+        self._rate = 0
+        self._active = False
+        self._failed = False
+        self._state = None
+        self._coeffs = None
+        self._pending = None  # np [C, <N] partial input block
+        self._step = jax.jit(cv.step, donate_argnums=0)
+        self._dither_state = None
+        self._overflow = None
+        self._last_overflow = None
+        self.reported_latency = 0  # parity: foo_dsp_bfir.cpp:372-375
+        self.n_partitions = 0
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def algorithmic_latency(self) -> int:
+        return self.config.filter.block_length
+
+    def reconfigure(self, config: EngineConfig) -> None:
+        """Swap the config snapshot; rebuild at the next block boundary."""
+        self.config = config
+        self._channels = 0  # force re-init on next process()
+        self._failed = False
+
+    def reset(self) -> None:
+        """brutefir::reset (brutefir.cpp:345-367): clear all running state."""
+        if self._channels:
+            self._init_runtime_state()
+
+    def _init_runtime_state(self) -> None:
+        fspec = self._runtime_filter_spec
+        self._state = cv.init_state(fspec, self._channels)
+        self._pending = np.zeros((self._channels, 0), dtype=fspec.dtype)
+        dt = np.float32 if fspec.dtype == "float32" else np.float64
+        self._overflow = dth.init_overflow_stats(self._channels, dtype=dt)
+        self._last_overflow = jax.tree_util.tree_map(np.asarray, self._overflow)
+        if self.config.stream.apply_dither and not self.config.stream.out_format.isfloat:
+            self._dither_state = dth.init_dither_state(self._channels, dtype=dt)
+        else:
+            self._dither_state = None
+
+    def _initialize(self, n_channels: int, rate: int) -> None:
+        re_init = self._channels != 0
+        if re_init:
+            pinfo("Reinitializing filter.")
+        self._channels = n_channels
+        self._rate = rate
+        stream = StreamSpec(
+            n_channels=n_channels,
+            sample_rate=rate,
+            in_format=self.config.stream.in_format,
+            out_format=self.config.stream.out_format,
+            apply_dither=self.config.stream.apply_dither,
+        )
+        try:
+            built = build_chain(self.config, stream, self.cache)
+        except Exception as e:  # degrade to passthrough (foo_dsp_bfir.cpp:352-357)
+            pinfo("Chain build failed (%s); passing through.", e)
+            self._active = False
+            return
+        if built.impulse is None:
+            self._active = False
+            return
+        self.n_partitions = built.n_partitions
+        fspec = self._runtime_filter_spec
+        self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
+        self._init_runtime_state()
+        self._active = True
+        pinfo("Filter length: %u samples, %u blocks.",
+              fspec.block_length, fspec.n_partitions)
+        pinfo("Format: %u channels, %u Hz.", n_channels, rate)
+
+    @property
+    def _runtime_filter_spec(self) -> FilterSpec:
+        """The filter spec with the partition count implied by the chain
+        (the plugin derives filter_blocks from the impulse length,
+        foo_dsp_bfir.cpp:270-272)."""
+        return FilterSpec(
+            block_length=self.config.filter.block_length,
+            n_partitions=max(1, self.n_partitions),
+            dtype=self.config.filter.dtype,
+        )
+
+    # -- streaming ----------------------------------------------------------
+
+    def process(self, frames: np.ndarray, sample_rate: Optional[int] = None) -> np.ndarray:
+        """Push ``frames`` [C, T] (engine float domain, +-1 full scale);
+        returns the filtered frames produced by completed blocks (possibly
+        fewer than T; the remainder is held until the next call).
+
+        Passthrough (frames returned unmodified) when no chain is active or
+        after a NaN abort.
+        """
+        frames = np.atleast_2d(np.asarray(frames))
+        rate = sample_rate or self._rate or self.config.stream.sample_rate
+        if frames.shape[0] != self._channels or rate != self._rate:
+            self._initialize(frames.shape[0], rate)
+        if not self._active or self._failed:
+            return frames
+
+        n = self.config.filter.block_length
+        buf = np.concatenate([self._pending, frames.astype(self._pending.dtype)], axis=1)
+        outs = []
+        while buf.shape[1] >= n:
+            block, buf = buf[:, :n], buf[:, n:]
+            self._state, out = self._step(self._state, self._coeffs, block)
+            out_np = np.asarray(out)
+            # single-sample NaN/Inf guard (brutefir.cpp:313-321)
+            if not np.isfinite(out_np[0, 0]):
+                pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
+                self._failed = True
+                self._pending = buf[:, :0]
+                # keep prior good output; pass the offending block through
+                return np.concatenate(outs + [block], axis=1) if outs else block
+            if self.config.stream.out_format.isfloat:
+                self._overflow = fm.count_float_overflow(out, self._overflow)
+            outs.append(out_np)
+            if self.config.overflow_warnings:
+                self.check_overflows()
+        self._pending = buf
+        if not outs:
+            return frames[:, :0]
+        return np.concatenate(outs, axis=1)
+
+    def process_raw(self, raw: bytes, sample_rate: Optional[int] = None) -> bytes:
+        """Full raw-format path: decode input bytes per the configured
+        in_format, filter, and encode per out_format with dither — the
+        convolver_raw2cbuf / cbuf2raw boundary (fftw_convolver.cpp:156,405).
+        """
+        sfmt = self.config.stream.in_format
+        ofmt = self.config.stream.out_format
+        # channels from config for raw mode
+        c = self.config.stream.n_channels
+        x = fm.decode(raw, sfmt, c, dtype=np.dtype(self.config.filter.dtype))
+        y = self.process(x, sample_rate)
+        if ofmt.isfloat:
+            return fm.encode_float(y, ofmt)
+        scaled, self._overflow, self._dither_state = fm.output_stage(
+            jax.numpy.asarray(y), ofmt, self._overflow, self._dither_state
+        )
+        return fm.encode_int(np.asarray(scaled), ofmt)
+
+    def flush(self) -> None:
+        """Drop any partial block (foo_dsp_bfir.cpp:367-370)."""
+        if self._pending is not None:
+            self._pending = self._pending[:, :0]
+
+    # -- observability ------------------------------------------------------
+
+    def overflow_stats(self):
+        if self._overflow is None:
+            return None
+        return jax.tree_util.tree_map(np.asarray, self._overflow)
+
+    def check_overflows(self) -> None:
+        """Print per-channel peak/overflow on change
+        (brutefir::check_overflows + print_overflows, brutefir.cpp:370-388,
+        585-629)."""
+        cur = self.overflow_stats()
+        if cur is None:
+            return
+        changed = any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(cur),
+                            jax.tree_util.tree_leaves(self._last_overflow))
+        )
+        if changed:
+            self._last_overflow = cur
+            for ch in range(self._channels):
+                peak = float(cur.largest[ch])
+                peak_db = 20 * np.log10(peak) if peak > 0 else -np.inf
+                pinfo("Channel %d: overflows %d, peak %.2f dBFS",
+                      ch, int(cur.n_overflows[ch]), peak_db)

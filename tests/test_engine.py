@@ -1,0 +1,254 @@
+"""Engine layer: cache, chain composition, streaming session."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+from bfir_tpu.core.spec import (
+    ChainSpec,
+    EngineConfig,
+    EqSpec,
+    FilterSpec,
+    ImpulseFileSpec,
+    SampleFormat,
+    StreamSpec,
+)
+from bfir_tpu.engine.cache import ArtifactCache
+from bfir_tpu.engine.chain import build_chain
+from bfir_tpu.engine.session import StreamProcessor
+from bfir_tpu.io import wavio
+
+
+@pytest.fixture
+def cache(tmp_path):
+    return ArtifactCache(str(tmp_path / "profile"))
+
+
+def save_impulse(tmp_path, name, imp, rate=44100):
+    p = str(tmp_path / name)
+    wavio.write(p, np.asarray(imp).T, rate, subtype="float64")
+    return p
+
+
+def make_config(tmp_path, files=(), eq_enabled=False, eq_mags=None, block=256,
+                dtype="float64", dither=False, out_format=SampleFormat.FLOAT_LE,
+                eq_blocks=8):
+    fspecs = []
+    for fname, level, resamp in files:
+        fspecs.append(ImpulseFileSpec(enabled=True, filename=fname,
+                                      level_steps=level, resample=resamp))
+    while len(fspecs) < 3:
+        fspecs.append(ImpulseFileSpec())
+    return EngineConfig(
+        filter=FilterSpec(block_length=block, n_partitions=1, dtype=dtype),
+        stream=StreamSpec(n_channels=2, sample_rate=44100,
+                          out_format=out_format, apply_dither=dither),
+        chain=ChainSpec(
+            eq=EqSpec(enabled=eq_enabled, mag_steps=tuple(eq_mags or [0] * 31)),
+            files=tuple(fspecs),
+        ),
+        eq_filter_blocks=eq_blocks,
+    )
+
+
+# -- cache ------------------------------------------------------------------
+
+
+def test_cache_filenames_scheme(cache):
+    p = cache.eq_filename([20.0], [0.0], [0.0], 512, 8, 2, 44100)
+    assert "/temp/eq-" in p and p.endswith("-512-8-2-44100.wav")
+    p = cache.resampled_filename("/a/b.wav", 2, 96000)
+    assert "/temp/ir-" in p and p.endswith("-2-96000.wav")
+    p = cache.preconvolved_filename(["a", "b"], 1000, 8, 2, 44100)
+    assert "/temp/file-" in p and p.endswith("-1000-8-2-44100.wav")
+
+
+def test_cache_clean_temp(cache):
+    p = cache.temp_path("x.txt")
+    open(p, "w").write("hi")
+    cache.clean_temp()
+    import os
+
+    assert not os.path.exists(p)
+    assert os.path.isdir(cache.temp)
+
+
+# -- chain ------------------------------------------------------------------
+
+
+def test_chain_inactive(cache, tmp_path):
+    cfg = make_config(tmp_path)
+    built = build_chain(cfg, cfg.stream, cache)
+    assert built.impulse is None
+
+
+def test_chain_single_file(cache, tmp_path):
+    rng = np.random.default_rng(0)
+    imp = rng.standard_normal((2, 300)) * 0.1
+    p = save_impulse(tmp_path, "a.wav", imp)
+    cfg = make_config(tmp_path, files=[(p, 60, False)])  # +6 dB level
+    built = build_chain(cfg, cfg.stream, cache)
+    np.testing.assert_allclose(built.impulse, imp, atol=1e-12)
+    np.testing.assert_allclose(built.scale, 10 ** (6.0 / 20.0))
+    assert built.n_partitions == 2  # ceil(300/256)
+
+
+def test_chain_two_files_composed(cache, tmp_path):
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((2, 200)) * 0.2
+    b = rng.standard_normal((2, 150)) * 0.2
+    pa = save_impulse(tmp_path, "a.wav", a)
+    pb = save_impulse(tmp_path, "b.wav", b)
+    cfg = make_config(tmp_path, files=[(pa, 0, False), (pb, 20, False)])
+    built = build_chain(cfg, cfg.stream, cache)
+    # composition = (a * b*scale_b) truncated to max(200, 150)
+    scale_b = 10 ** (2.0 / 20.0)
+    ref = np.stack([np.convolve(a[c], b[c] * scale_b)[:200] for c in range(2)])
+    assert built.impulse.shape == (2, 200)
+    np.testing.assert_allclose(built.impulse, ref, atol=1e-10)
+    assert built.scale == 1.0
+
+
+def test_chain_rate_mismatch_drops_without_flag(cache, tmp_path):
+    imp = np.ones((2, 100)) * 0.1
+    p = save_impulse(tmp_path, "wrong_rate.wav", imp, rate=48000)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    built = build_chain(cfg, cfg.stream, cache)
+    assert built.impulse is None  # dropped (foo_dsp_bfir.cpp:183-190)
+
+
+def test_chain_rate_mismatch_resamples_with_flag(cache, tmp_path):
+    imp = np.zeros((2, 480))
+    imp[:, 0] = 0.5
+    p = save_impulse(tmp_path, "rs.wav", imp, rate=48000)
+    cfg = make_config(tmp_path, files=[(p, 0, True)])
+    built = build_chain(cfg, cfg.stream, cache)
+    assert built.impulse is not None
+    assert built.impulse.shape[1] == 441  # 480 * 44100/48000
+    # and the resampled artifact is cached
+    import os
+
+    assert os.path.exists(cache.resampled_filename(p, 2, 44100))
+
+
+def test_chain_mono_impulse_broadcast(cache, tmp_path):
+    imp = np.zeros((1, 64))
+    imp[0, 0] = 1.0
+    p = save_impulse(tmp_path, "mono.wav", imp)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    built = build_chain(cfg, cfg.stream, cache)
+    assert built.impulse.shape == (2, 64)
+
+
+def test_chain_eq_rendered_and_cached(cache, tmp_path):
+    cfg = make_config(tmp_path, eq_enabled=True, eq_mags=[0] * 31)
+    built = build_chain(cfg, cfg.stream, cache)
+    taps_half = cfg.filter.block_length * cfg.eq_filter_blocks // 2
+    assert built.impulse.shape == (2, taps_half)
+    # flat EQ -> near-dirac
+    assert abs(built.impulse[0, 0] - 1.0) < 1e-6
+    import glob
+
+    assert glob.glob(str(cache.temp / "eq-*.wav"))
+
+
+# -- session ----------------------------------------------------------------
+
+
+def test_session_passthrough_when_unconfigured(tmp_path):
+    cfg = make_config(tmp_path)
+    sp = StreamProcessor(cfg, ArtifactCache(str(tmp_path / "p")))
+    x = np.random.default_rng(0).standard_normal((2, 1000))
+    y = sp.process(x)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_session_filters_and_reblocks(cache, tmp_path):
+    rng = np.random.default_rng(2)
+    h = rng.standard_normal((2, 300)) * 0.05
+    p = save_impulse(tmp_path, "h.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 2000))
+    # push in awkward chunk sizes
+    outs = [sp.process(x[:, :100]), sp.process(x[:, 100:700]), sp.process(x[:, 700:2000])]
+    y = np.concatenate([o for o in outs if o.size], axis=1)
+    # 2000 frames -> 7 complete blocks of 256 = 1792 output frames
+    assert y.shape == (2, 1792)
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[:1792] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-10)
+    # flush drops the partial 208 frames
+    sp.flush()
+    y2 = sp.process(x[:, :256])
+    assert y2.shape == (2, 256)
+
+
+def test_session_reinit_on_channel_change(cache, tmp_path):
+    h = np.zeros((2, 10))
+    h[:, 0] = 1.0
+    p = save_impulse(tmp_path, "d.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    x2 = np.random.default_rng(3).standard_normal((2, 512))
+    y = sp.process(x2)
+    assert y.shape == (2, 512)
+    # switch to 3 channels: impulse has 2 channels -> chain drops -> passthrough
+    x3 = np.random.default_rng(4).standard_normal((3, 512))
+    y3 = sp.process(x3)
+    np.testing.assert_array_equal(y3, x3)
+
+
+def test_session_nan_abort_to_passthrough(cache, tmp_path):
+    h = np.zeros((2, 10))
+    h[:, 0] = 1.0
+    p = save_impulse(tmp_path, "d2.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    x = np.full((2, 256), np.nan)
+    y = sp.process(x)
+    assert y.shape == (2, 256)
+    # engine is now in failed/passthrough mode
+    x2 = np.ones((2, 256))
+    y2 = sp.process(x2)
+    np.testing.assert_array_equal(y2, x2)
+
+
+def test_session_overflow_accounting(cache, tmp_path):
+    h = np.zeros((2, 4))
+    h[:, 0] = 10.0  # +20 dB -> guaranteed overflow vs float full scale
+    p = save_impulse(tmp_path, "hot.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    sp.process(np.ones((2, 512)))
+    of = sp.overflow_stats()
+    assert int(of.n_overflows[0]) > 0
+    assert float(of.largest[0]) > 9.0
+
+
+def test_session_raw_path_s16_dither(cache, tmp_path):
+    h = np.zeros((2, 4))
+    h[:, 0] = 0.5
+    p = save_impulse(tmp_path, "half.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)],
+                      out_format=SampleFormat.S16_LE, dither=True)
+    sp = StreamProcessor(cfg, cache)
+    from bfir_tpu.ops import formats as fm
+
+    x = (np.random.default_rng(5).uniform(-0.5, 0.5, (2, 512))).astype(np.float64)
+    raw_in = fm.encode_float(x, SampleFormat.FLOAT_LE)
+    raw_out = sp.process_raw(raw_in)
+    y = fm.decode(raw_out, SampleFormat.S16_LE, 2)
+    np.testing.assert_allclose(y, 0.5 * x, atol=5 / 32768.0)
+
+
+def test_session_reconfigure(cache, tmp_path):
+    cfg = make_config(tmp_path)
+    sp = StreamProcessor(cfg, cache)
+    x = np.ones((2, 512)) * 0.1
+    np.testing.assert_array_equal(sp.process(x), x)  # passthrough
+    h = np.zeros((2, 4))
+    h[:, 0] = 2.0
+    p = save_impulse(tmp_path, "g.wav", h)
+    sp.reconfigure(make_config(tmp_path, files=[(p, 0, False)]))
+    y = sp.process(x)
+    np.testing.assert_allclose(y, 0.2 * np.ones((2, 512)), atol=1e-12)
