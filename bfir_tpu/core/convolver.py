@@ -147,6 +147,50 @@ def step(
     return new_state, out
 
 
+def step_rolled(
+    state: ConvolverState,
+    coeff_spectra: jax.Array,
+    block: jax.Array,
+) -> Tuple[ConvolverState, jax.Array]:
+    """One block step in *rolled* ring representation: ``ring[i]`` always
+    holds the spectrum delayed by exactly ``i`` blocks (newest at 0), so the
+    partition MAC is an aligned elementwise product with no gather.
+
+    This is the distribution-friendly form: with ``ring`` sharded over the
+    partition mesh axis, ``jnp.roll`` by a *static* 1 becomes a
+    nearest-neighbor boundary exchange (ICI collective-permute) instead of
+    the all-gather a position-indexed ring (``step``) would need, and the
+    partition sum becomes a psum. Numerically identical to ``step``
+    (brutefir.cpp:270-300 semantics either way).
+    """
+    n = block.shape[-1]
+    block = block.astype(state.prev_block.dtype)
+    frame = jnp.concatenate([state.prev_block, block], axis=-1)
+    x = F.rfft(frame, axis=-1)  # [C, F]
+
+    ring = jnp.roll(state.spectra_ring, 1, axis=0)
+    ring = jax.lax.dynamic_update_slice(
+        ring, x[None], (0, 0, 0)
+    )  # static slot 0 write
+    y = jnp.sum(coeff_spectra * ring, axis=0)
+    out = F.irfft(y, axis=-1)[..., n:]
+
+    return (
+        ConvolverState(ring, block, state.blockcounter + 1),
+        out,
+    )
+
+
+def rolled_from_state(state: ConvolverState) -> ConvolverState:
+    """Convert pointer-based ring state (``step``) to rolled representation
+    (``step_rolled``): rolled[i] = ring[(counter - 1 - i) mod P]."""
+    p = state.spectra_ring.shape[0]
+    idx = jnp.mod(state.blockcounter - 1 - jnp.arange(p, dtype=jnp.int32), p)
+    return ConvolverState(
+        jnp.take(state.spectra_ring, idx, axis=0), state.prev_block, state.blockcounter
+    )
+
+
 def process_blocks(
     state: ConvolverState,
     coeff_spectra: jax.Array,

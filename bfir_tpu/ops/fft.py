@@ -114,6 +114,9 @@ def rfft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
     m = n or x.shape[-1]
     x = _pad_last(x, m)
     dt = x.dtype.name
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        xr, xi = _cfft_fourstep(x, jnp.zeros_like(x), m, inverse=False)
+        return jax.lax.complex(xr[..., : m // 2 + 1], xi[..., : m // 2 + 1])
     cr, ci = _rdft_weights(m, dt)
     xr = jnp.matmul(x, jnp.asarray(cr), precision=_MATMUL_PRECISION)
     xi = jnp.matmul(x, jnp.asarray(ci), precision=_MATMUL_PRECISION)
@@ -131,10 +134,94 @@ def irfft(y: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
     if y.shape[-1] != f:
         y = _pad_last(y, f)
     rdt = "float32" if y.dtype == jnp.complex64 else "float64"
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        # hermitian-extend the half spectrum and run a full inverse FFT
+        yr, yi = jnp.real(y), jnp.imag(y)
+        yr_full = jnp.concatenate([yr, yr[..., -2:0:-1]], axis=-1)
+        yi_full = jnp.concatenate([yi, -yi[..., -2:0:-1]], axis=-1)
+        out, _ = _cfft_fourstep(yr_full, yi_full, m, inverse=True)
+        return out
     wr, wi = _irdft_weights(m, rdt)
     out = jnp.matmul(jnp.real(y), jnp.asarray(wr), precision=_MATMUL_PRECISION)
     out = out + jnp.matmul(jnp.imag(y), jnp.asarray(wi), precision=_MATMUL_PRECISION)
     return out
+
+
+# Above this size, use the four-step (Bailey) factorization instead of one
+# dense DFT matmul: M = n1*n2 -> DFT_n1 stages + twiddles + DFT_n2 stages,
+# all as batched matmuls. FLOPs drop from O(M^2) to O(M*(n1+n2)) per vector
+# while every stage stays a dense MXU matmul.
+_FOUR_STEP_MIN = 512
+
+
+def _split_factor(m: int) -> int:
+    """Largest power-of-two n1 <= sqrt(m) (m is a power of two here)."""
+    n1 = 1
+    while n1 * n1 <= m // 2:
+        n1 *= 2
+    return n1
+
+
+@functools.lru_cache(maxsize=32)
+def _twiddle(m: int, n1: int, dtype: str, inverse: bool):
+    n2 = m // n1
+    k1 = np.arange(n1)[:, None]
+    k2 = np.arange(n2)[None, :]
+    sign = 2.0 if inverse else -2.0
+    ang = sign * np.pi * k1 * k2 / m
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
+def _cmatmul(ar, ai, br, bi):
+    """Complex matmul on split real/imag operands (3 real matmuls via
+    Karatsuba-style is possible; 4 is simpler and MXU-bound either way)."""
+    rr = jnp.matmul(ar, br, precision=_MATMUL_PRECISION) - jnp.matmul(
+        ai, bi, precision=_MATMUL_PRECISION)
+    ri = jnp.matmul(ar, bi, precision=_MATMUL_PRECISION) + jnp.matmul(
+        ai, br, precision=_MATMUL_PRECISION)
+    return rr, ri
+
+
+def _cfft_fourstep(yr, yi, m: int, inverse: bool):
+    """Four-step FFT over the last axis on split re/im arrays [..., M]."""
+    rdt = yr.dtype.name
+    n1 = _split_factor(m)
+    n2 = m // n1
+    batch = yr.shape[:-1]
+    # step 1: view as [.., n2, n1] (column-major split: index = k2*n1 + k1
+    # -> x[k1 stride n2?]). Standard decimation: x[j], j = j1*n2 + j2;
+    # X[k2*n1 + k1] = sum_{j1,j2} x[j1*n2+j2] W_m^{(j1*n2+j2)(k1... } —
+    # implement as: A[j2, j1] = x[j1*n2 + j2]; B = DFT_n1 over j1;
+    # B *= twiddle(j2, k1); C = DFT_n2 over j2; X[k1*n2 + k2] = C[k2, k1].
+    yr = yr.reshape(*batch, n1, n2)
+    yi = yi.reshape(*batch, n1, n2)
+    # DFT over j1 (axis -2): move to last axis for matmul
+    yr_t = jnp.swapaxes(yr, -1, -2)  # [.., n2, n1]
+    yi_t = jnp.swapaxes(yi, -1, -2)
+    cr1, ci1 = _cdft_weights(n1, rdt, inverse)
+    # forward small DFTs carry no scale; inverse scale folded at the end
+    s1 = n1 if inverse else 1
+    br1 = jnp.asarray(cr1 * s1)
+    bi1 = jnp.asarray(ci1 * s1)
+    ar, ai = _cmatmul(yr_t, yi_t, br1, bi1)  # [.., n2, n1] indexed [j2, k1]
+    # twiddle W_m^{±j2*k1}
+    twr, twi = _twiddle(m, n1, rdt, inverse)
+    twr_j = jnp.asarray(twr).T  # [n2, n1] indexed [j2, k1]
+    twi_j = jnp.asarray(twi).T
+    tr = ar * twr_j - ai * twi_j
+    ti = ar * twi_j + ai * twr_j
+    # DFT over j2 (axis -2 after swap): [.., n1, n2] indexed [k1, j2]
+    tr = jnp.swapaxes(tr, -1, -2)
+    ti = jnp.swapaxes(ti, -1, -2)
+    cr2, ci2 = _cdft_weights(n2, rdt, inverse)
+    s2 = n2 / m if inverse else 1  # total inverse scale = 1/m
+    br2 = jnp.asarray(cr2 * s2)
+    bi2 = jnp.asarray(ci2 * s2)
+    orr, oi = _cmatmul(tr, ti, br2, bi2)  # [.., n1, n2] indexed [k1, k2]
+    # output index is k2*n1 + k1 -> transpose before flattening
+    orr = jnp.swapaxes(orr, -1, -2).reshape(*batch, m)
+    oi = jnp.swapaxes(oi, -1, -2).reshape(*batch, m)
+    return orr, oi
 
 
 def _cfft(y: jax.Array, n: Optional[int], axis: int, inverse: bool) -> jax.Array:
@@ -148,6 +235,9 @@ def _cfft(y: jax.Array, n: Optional[int], axis: int, inverse: bool) -> jax.Array
     y = _pad_last(y, m)
     cdt = y.dtype
     rdt = "float32" if cdt == jnp.complex64 else "float64"
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        orr, oi = _cfft_fourstep(jnp.real(y), jnp.imag(y), m, inverse)
+        return jax.lax.complex(orr, oi)
     cr, ci = _cdft_weights(m, rdt, inverse)
     cr = jnp.asarray(cr)
     ci = jnp.asarray(ci)

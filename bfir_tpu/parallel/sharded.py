@@ -1,0 +1,107 @@
+"""Sharded engine execution over a device mesh.
+
+Runs the rolled-ring convolver step (``core.convolver.step_rolled``) under
+jit with NamedShardings from ``parallel.mesh``: channels sharded over "c",
+partitions (and the ring of delayed spectra) over "p". XLA/GSPMD then emits:
+
+- the partition MAC reduce -> psum over "p" (ICI all-reduce)
+- the static ring roll     -> nearest-neighbor boundary collective-permute
+- the block FFT matmuls    -> per-shard MXU matmuls, channels independent
+
+This is the "channels+partitions sharded, spectra exchanged via ICI
+collectives, partials psum'd" design of BASELINE.json's north star. The
+reference has no counterpart (single-threaded C++, SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from bfir_tpu.core import convolver as cv
+from bfir_tpu.core.spec import FilterSpec
+from bfir_tpu.parallel import mesh as M
+
+
+class ShardedEngine:
+    def __init__(self, spec: FilterSpec, n_channels: int, mesh: Mesh):
+        if spec.n_partitions % mesh.shape["p"]:
+            raise ValueError(
+                f"n_partitions {spec.n_partitions} not divisible by mesh p={mesh.shape['p']}")
+        if n_channels % mesh.shape["c"]:
+            raise ValueError(
+                f"n_channels {n_channels} not divisible by mesh c={mesh.shape['c']}")
+        self.spec = spec
+        self.n_channels = n_channels
+        self.mesh = mesh
+        st_sh = M.state_shardings(mesh)
+        self._state_shardings = cv.ConvolverState(
+            spectra_ring=st_sh["spectra_ring"],
+            prev_block=st_sh["prev_block"],
+            blockcounter=st_sh["blockcounter"],
+        )
+        self._coeff_sharding = M.coeff_sharding(mesh)
+        self._block_sharding = M.block_sharding(mesh)
+        self._step = jax.jit(
+            cv.step_rolled,
+            in_shardings=(self._state_shardings, self._coeff_sharding,
+                          self._block_sharding),
+            out_shardings=(self._state_shardings, self._block_sharding),
+            donate_argnums=0,
+        )
+        # placement helpers that work for complex dtypes on backends where
+        # complex host->device transfer is unavailable (see ops.fft)
+        self._place_coeffs = jax.jit(lambda x: x, out_shardings=self._coeff_sharding)
+        self._init = jax.jit(
+            lambda: cv.init_state(spec, n_channels),
+            out_shardings=self._state_shardings,
+            static_argnums=(),
+        )
+
+    def init_state(self) -> cv.ConvolverState:
+        return self._init()
+
+    def prepare_coeffs(self, impulse, scale: float = 1.0) -> jax.Array:
+        coeffs = cv.coeffs_to_spectra(impulse, self.spec, scale=scale)
+        return self._place_coeffs(coeffs)
+
+    def step(self, state, coeffs, block) -> Tuple[cv.ConvolverState, jax.Array]:
+        return self._step(state, coeffs, block)
+
+
+def dryrun(n_devices: Optional[int] = None, mesh: Optional[Mesh] = None) -> None:
+    """Compile + execute one sharded step on tiny shapes over the given or
+    default mesh. Used by __graft_entry__.dryrun_multichip."""
+    m = mesh if mesh is not None else M.make_mesh(
+        channel_shards=2 if (n_devices or 1) % 2 == 0 and (n_devices or 1) > 1 else 1,
+        devices=jax.devices()[: n_devices] if n_devices else None,
+    )
+    c = 2 * m.shape["c"]
+    p = 2 * m.shape["p"]
+    spec = FilterSpec(block_length=128, n_partitions=p, dtype="float32")
+    eng = ShardedEngine(spec, c, m)
+    state = eng.init_state()
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32) * 0.05
+    coeffs = eng.prepare_coeffs(h)
+    out_all = []
+    x = rng.standard_normal((c, 4 * spec.block_length)).astype(np.float32)
+    for b in range(4):
+        block = x[:, b * spec.block_length : (b + 1) * spec.block_length]
+        state, out = eng.step(state, coeffs, block)
+        out_all.append(np.asarray(out))
+    y = np.concatenate(out_all, axis=1)
+    # cross-check vs the single-device reference path
+    st2 = cv.init_state(spec, c)
+    co2 = cv.coeffs_to_spectra(h, spec)
+    outs2 = []
+    for b in range(4):
+        st2, o2 = cv.step(st2, co2, x[:, b * spec.block_length : (b + 1) * spec.block_length])
+        outs2.append(np.asarray(o2))
+    y2 = np.concatenate(outs2, axis=1)
+    err = float(np.max(np.abs(y - y2)))
+    if err > 1e-3:
+        raise AssertionError(f"sharded step diverged from single-device: {err}")

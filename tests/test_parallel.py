@@ -1,0 +1,85 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4c: this is how multi-chip is validated without a pod)."""
+
+import jax
+import numpy as np
+import pytest
+
+from bfir_tpu.core import convolver as cv
+from bfir_tpu.core.spec import FilterSpec
+from bfir_tpu.parallel import mesh as M
+from bfir_tpu.parallel.sharded import ShardedEngine, dryrun
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def test_step_rolled_matches_step():
+    rng = np.random.default_rng(0)
+    spec = FilterSpec(block_length=64, n_partitions=4, dtype="float64")
+    h = rng.standard_normal(200)
+    co = cv.coeffs_to_spectra(h, spec)
+    s_ptr = cv.init_state(spec, 2)
+    s_rol = cv.init_state(spec, 2)
+    x = rng.standard_normal((2, 64 * 8))
+    for b in range(8):
+        blk = x[:, b * 64 : (b + 1) * 64]
+        s_ptr, o1 = cv.step(s_ptr, co, blk)
+        s_rol, o2 = cv.step_rolled(s_rol, co, blk)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-12)
+    # representation conversion agrees
+    conv = cv.rolled_from_state(s_ptr)
+    np.testing.assert_allclose(np.asarray(conv.spectra_ring),
+                               np.asarray(s_rol.spectra_ring), atol=1e-12)
+
+
+@pytest.mark.parametrize("c_shards,p_shards", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_engine_matches_single_device(devices, c_shards, p_shards):
+    rng = np.random.default_rng(1)
+    mesh = M.make_mesh(channel_shards=c_shards, partition_shards=p_shards)
+    spec = FilterSpec(block_length=64, n_partitions=8, dtype="float64")
+    c = 8
+    eng = ShardedEngine(spec, c, mesh)
+    h = rng.standard_normal((c, spec.max_taps)) * 0.1
+    coeffs = eng.prepare_coeffs(h)
+    state = eng.init_state()
+
+    st1 = cv.init_state(spec, c)
+    co1 = cv.coeffs_to_spectra(h, spec)
+
+    x = rng.standard_normal((c, 64 * 6))
+    for b in range(6):
+        blk = x[:, b * 64 : (b + 1) * 64]
+        state, out = eng.step(state, coeffs, blk)
+        st1, ref = cv.step(st1, co1, blk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_sharded_state_is_actually_sharded(devices):
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=8, dtype="float32")
+    eng = ShardedEngine(spec, 4, mesh)
+    state = eng.init_state()
+    ring = state.spectra_ring
+    assert len(ring.sharding.device_set) == 8
+    # each device holds a [P/4, C/2, F] shard
+    shard_shapes = {s.data.shape for s in ring.addressable_shards}
+    assert shard_shapes == {(2, 2, 65)}
+
+
+def test_mesh_validation(devices):
+    with pytest.raises(ValueError):
+        M.make_mesh(channel_shards=3, partition_shards=3)
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=7, dtype="float32")
+    with pytest.raises(ValueError):
+        ShardedEngine(spec, 4, mesh)  # 7 partitions not divisible by 4
+
+
+def test_dryrun(devices):
+    dryrun(8)
