@@ -45,7 +45,16 @@ def _np_int_dtype(fmt: SampleFormat):
 def decode(raw, fmt: SampleFormat, n_channels: int, dtype=np.float64) -> np.ndarray:
     """Decode interleaved raw PCM bytes -> float [C, N] scaled to +-1 full
     scale (raw2real semantics with the input ``sf.scale`` of
-    brutefir.cpp:435-539 folded in)."""
+    brutefir.cpp:435-539 folded in).
+
+    Uses the native C++ codec (bfir_tpu.native) when built; numpy fallback
+    below is exact-equivalent (tested)."""
+    from bfir_tpu import native as _native
+
+    if isinstance(raw, (bytes, bytearray)) and _native.available():
+        out = _native.decode_f64(bytes(raw), fmt, n_channels)
+        if out is not None:
+            return out.astype(dtype, copy=False)
     buf = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else np.asarray(raw, dtype=np.uint8)
     frame_bytes = fmt.bytes * n_channels
     n = buf.size // frame_bytes
@@ -79,6 +88,12 @@ def encode_int(q: np.ndarray, fmt: SampleFormat) -> bytes:
     """Pack already-quantized int32 samples [C, N] -> interleaved raw bytes."""
     if fmt.isfloat:
         raise ValueError("encode_int is for integer formats")
+    from bfir_tpu import native as _native
+
+    if _native.available():
+        out = _native.encode_int(np.asarray(q, dtype=np.int32), fmt)
+        if out is not None:
+            return out
     inter = np.asarray(q, dtype=np.int64).T.reshape(-1)  # [N*C] interleaved
     if fmt.bytes == 3:
         flat = inter.astype(np.int32)
