@@ -105,7 +105,7 @@ def main(argv=None) -> int:
 
     sp = StreamProcessor(cfg)
     x = audio.T  # [C, T]
-    y = sp.process(x, sample_rate=rate)
+    y = sp.process_buffer(x, sample_rate=rate)
     if not sp._active:
         print("no chain configured; passing through", file=sys.stderr)
     # flush the partial tail: pad up to a whole block so every input frame
@@ -114,7 +114,7 @@ def main(argv=None) -> int:
     if sp._active and y.shape[1] < t:
         n = cfg.filter.block_length
         pad = np.zeros((x.shape[0], n - (t % n) if t % n else n))
-        tail = sp.process(pad, sample_rate=rate)
+        tail = sp.process_buffer(pad, sample_rate=rate)
         y = np.concatenate([y, tail], axis=1)[:, :t]
     _, subtype = _SUBTYPE_FOR_FORMAT[args.out_format]
     wavio.write(args.output, y.T, rate, subtype=subtype)
