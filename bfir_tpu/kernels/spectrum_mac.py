@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: fused partition MAC over the delayed-spectrum ring.
+
+The streaming hot loop's dominant HBM traffic is the frequency-domain MAC
+(reference: the convolve/convolve_add loop, brutefir.cpp:279-300, backed by
+the hand-unrolled SSE loops fftw_convolver.cpp:1429-1525). The jnp rolled
+formulation (`core.convolver.step_rolled`) physically rotates the ring every
+block: read P·C·F + write P·C·F just for the roll, then read ring + coeffs
+again for the MAC.
+
+This kernel removes the roll entirely: the ring stays fixed in HBM, one slot
+is overwritten per block, and the kernel walks partitions with a
+*scalar-prefetched* ring index — partition p reads slot ``(pos - p) mod P``
+(exactly brutefir.cpp:292-295's ``(blockcounter - i) % n_blocks``) while the
+output accumulates in VMEM across grid steps. Traffic per block: ring read
+once, coeffs read once, y written once — the HBM-bandwidth floor.
+
+Complex spectra are carried as split re/im planes (Pallas TPU has no complex
+dtype; see ops.fft split API). A jnp reference implementation with identical
+semantics (`mac_reference`) backs CPU execution and the correctness tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def mac_reference(ring_re, ring_im, coeff_re, coeff_im, pos):
+    """jnp reference: y = sum_p coeff[p] * ring[(pos - p) mod P] (complex
+    multiply on split planes)."""
+    p = ring_re.shape[0]
+    idx = jnp.mod(pos - jnp.arange(p, dtype=jnp.int32), p)
+    rr = jnp.take(ring_re, idx, axis=0)
+    ri = jnp.take(ring_im, idx, axis=0)
+    yr = jnp.sum(coeff_re * rr - coeff_im * ri, axis=0)
+    yi = jnp.sum(coeff_re * ri + coeff_im * rr, axis=0)
+    return yr, yi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mac_pallas(ring_re, ring_im, coeff_re, coeff_im, pos, interpret: bool = False):
+    """Fused ring MAC as a Pallas kernel. Shapes: ring/coeff [P, C, Fp]
+    (Fp ideally a multiple of 128), pos scalar int32. Returns (yr, yi) [C, Fp].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c, fp = ring_re.shape
+    dt = ring_re.dtype
+
+    def kernel(pos_ref, rr, ri, cr, ci, yr, yi):
+        i = pl.program_id(0)
+        a_r = cr[0] * rr[0] - ci[0] * ri[0]
+        a_i = cr[0] * ri[0] + ci[0] * rr[0]
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, 0)
+
+    def out_map(i, pos_ref):
+        return (0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, c, fp), ring_map),
+            pl.BlockSpec((1, c, fp), ring_map),
+            pl.BlockSpec((1, c, fp), coeff_map),
+            pl.BlockSpec((1, c, fp), coeff_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, fp), out_map),
+            pl.BlockSpec((c, fp), out_map),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, fp), dt),
+            jax.ShapeDtypeStruct((c, fp), dt),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring_re, ring_im, coeff_re, coeff_im)
+    return yr, yi
+
+
+# ---------------------------------------------------------------------------
+# Split-plane streaming step built on the kernel (the bench fast path).
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+from bfir_tpu.core.spec import FilterSpec  # noqa: E402
+from bfir_tpu.ops import fft as F  # noqa: E402
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class SplitState(NamedTuple):
+    """Streaming state in split re/im planes with a fixed (pointer-indexed)
+    ring — the TPU performance representation of ConvolverState."""
+
+    ring_re: jax.Array  # [P, C, Fp]
+    ring_im: jax.Array
+    prev_block: jax.Array  # [C, N]
+    blockcounter: jax.Array  # int32
+
+
+def init_split_state(spec: FilterSpec, n_channels: int) -> SplitState:
+    fp = _round_up(spec.n_freq, 128)
+    dt = jnp.dtype(spec.dtype)
+    return SplitState(
+        ring_re=jnp.zeros((spec.n_partitions, n_channels, fp), dtype=dt),
+        ring_im=jnp.zeros((spec.n_partitions, n_channels, fp), dtype=dt),
+        prev_block=jnp.zeros((n_channels, spec.block_length), dtype=dt),
+        blockcounter=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def split_coeffs(impulse, spec: FilterSpec, scale: float = 1.0):
+    """coeffs_to_spectra in split planes, F padded to a lane multiple."""
+    h = jnp.asarray(impulse, dtype=spec.dtype) * jnp.asarray(scale, dtype=spec.dtype)
+    if h.ndim == 1:
+        h = h[None, :]
+    c, taps = h.shape
+    n, p = spec.block_length, spec.n_partitions
+    if taps > n * p:
+        h = h[:, : n * p]
+    else:
+        h = jnp.pad(h, ((0, 0), (0, n * p - taps)))
+    parts = h.reshape(c, p, n).transpose(1, 0, 2)
+    cr, ci = F.rfft_split(parts, n=spec.n_fft)
+    fp = _round_up(spec.n_freq, 128)
+    pad = fp - cr.shape[-1]
+    return jnp.pad(cr, ((0, 0), (0, 0), (0, pad))), jnp.pad(ci, ((0, 0), (0, 0), (0, pad)))
+
+
+def step_split(
+    state: SplitState,
+    coeff_re: jax.Array,
+    coeff_im: jax.Array,
+    block: jax.Array,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> Tuple[SplitState, jax.Array]:
+    """One streaming block in split representation; outputs bit-match
+    ``core.convolver.step`` up to fp rounding."""
+    p, c, fp = state.ring_re.shape
+    n = block.shape[-1]
+    f = n + 1
+    block = block.astype(state.prev_block.dtype)
+    frame = jnp.concatenate([state.prev_block, block], axis=-1)
+    xr, xi = F.rfft_split(frame)  # [C, F]
+    xr = jnp.pad(xr, ((0, 0), (0, fp - f)))
+    xi = jnp.pad(xi, ((0, 0), (0, fp - f)))
+
+    # pallas block reads don't broadcast: materialize shared (C=1) coeffs
+    if coeff_re.shape[1] != c:
+        coeff_re = jnp.broadcast_to(coeff_re, (p, c, fp))
+        coeff_im = jnp.broadcast_to(coeff_im, (p, c, fp))
+
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring_re = jax.lax.dynamic_update_slice(state.ring_re, xr[None], (pos, zero, zero))
+    ring_im = jax.lax.dynamic_update_slice(state.ring_im, xi[None], (pos, zero, zero))
+
+    if use_pallas:
+        yr, yi = mac_pallas(ring_re, ring_im, coeff_re, coeff_im, pos,
+                            interpret=interpret)
+    else:
+        yr, yi = mac_reference(ring_re, ring_im, coeff_re, coeff_im, pos)
+
+    out = F.irfft_split(yr[..., :f], yi[..., :f], n=2 * n)[..., n:]
+    return (
+        SplitState(ring_re, ring_im, block, state.blockcounter + 1),
+        out,
+    )

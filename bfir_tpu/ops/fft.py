@@ -262,6 +262,53 @@ def ifft(y, n=None, axis=-1):
 
 
 # ---------------------------------------------------------------------------
+# Split re/im API — the TPU-native representation.
+#
+# Pallas TPU kernels have no complex dtype, and this backend cannot move
+# complex arrays across the host boundary, so the performance path keeps
+# spectra as separate real/imag planes end-to-end. These entry points skip
+# the lax.complex pack/unpack entirely.
+# ---------------------------------------------------------------------------
+
+
+def rfft_split(x: jax.Array, n: Optional[int] = None):
+    """rfft over the last axis -> (re, im), each [..., n//2 + 1] real."""
+    m = n or x.shape[-1]
+    x = _pad_last(x, m)
+    if _use_matmul():
+        if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+            xr, xi = _cfft_fourstep(x, jnp.zeros_like(x), m, inverse=False)
+            return xr[..., : m // 2 + 1], xi[..., : m // 2 + 1]
+        cr, ci = _rdft_weights(m, x.dtype.name)
+        return (
+            jnp.matmul(x, jnp.asarray(cr), precision=_MATMUL_PRECISION),
+            jnp.matmul(x, jnp.asarray(ci), precision=_MATMUL_PRECISION),
+        )
+    y = jnp.fft.rfft(x, n=m, axis=-1)
+    return jnp.real(y), jnp.imag(y)
+
+
+def irfft_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """Inverse rfft from split re/im planes -> real [..., n]."""
+    m = n or 2 * (yr.shape[-1] - 1)
+    f = m // 2 + 1
+    yr = _pad_last(yr, f)
+    yi = _pad_last(yi, f)
+    if _use_matmul():
+        if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+            yr_full = jnp.concatenate([yr, yr[..., -2:0:-1]], axis=-1)
+            yi_full = jnp.concatenate([yi, -yi[..., -2:0:-1]], axis=-1)
+            out, _ = _cfft_fourstep(yr_full, yi_full, m, inverse=True)
+            return out
+        wr, wi = _irdft_weights(m, yr.dtype.name)
+        return (
+            jnp.matmul(yr, jnp.asarray(wr), precision=_MATMUL_PRECISION)
+            + jnp.matmul(yi, jnp.asarray(wi), precision=_MATMUL_PRECISION)
+        )
+    return jnp.fft.irfft(jax.lax.complex(yr, yi), n=m, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Complex-dtype compatibility helpers.
 #
 # The axon TPU backend supports complex *compute* on device but not complex

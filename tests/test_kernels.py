@@ -1,0 +1,88 @@
+"""Pallas spectrum-MAC kernel (interpret mode on CPU) vs jnp reference and
+the complex-dtype convolver path."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+from bfir_tpu.core import convolver as cv
+from bfir_tpu.core.spec import FilterSpec
+from bfir_tpu.kernels import spectrum_mac as K
+from bfir_tpu.ops import fft as F
+
+
+def test_mac_reference_matches_complex():
+    rng = np.random.default_rng(0)
+    p, c, f = 4, 2, 33
+    rr, ri = rng.standard_normal((2, p, c, f))
+    cr, ci = rng.standard_normal((2, p, c, f))
+    for pos in range(p):
+        yr, yi = K.mac_reference(rr, ri, cr, ci, np.int32(pos))
+        ring = rr + 1j * ri
+        coeffs = cr + 1j * ci
+        idx = (pos - np.arange(p)) % p
+        ref = (coeffs * ring[idx]).sum(axis=0)
+        np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-12)
+
+
+@pytest.mark.parametrize("pos", [0, 3, 7])
+def test_mac_pallas_interpret_matches_reference(pos):
+    rng = np.random.default_rng(1)
+    p, c, fp = 8, 8, 128
+    rr = rng.standard_normal((p, c, fp)).astype(np.float32)
+    ri = rng.standard_normal((p, c, fp)).astype(np.float32)
+    cr = rng.standard_normal((p, c, fp)).astype(np.float32)
+    ci = rng.standard_normal((p, c, fp)).astype(np.float32)
+    import jax.numpy as jnp
+
+    yr, yi = K.mac_pallas(rr, ri, cr, ci, jnp.int32(pos), interpret=True)
+    yr2, yi2 = K.mac_reference(rr, ri, cr, ci, jnp.int32(pos))
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yr2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(yi2), atol=1e-4)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_step_split_matches_scipy(use_pallas):
+    rng = np.random.default_rng(2)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    c = 2
+    h = rng.standard_normal(450) * 0.1
+    x = rng.standard_normal((c, 128 * 8))
+
+    state = K.init_split_state(spec, c)
+    cr, ci = K.split_coeffs(h, spec)
+    outs = []
+    for b in range(8):
+        state, o = K.step_split(state, cr, ci, x[:, b * 128 : (b + 1) * 128],
+                                use_pallas=use_pallas, interpret=True)
+        outs.append(np.asarray(o))
+    y = np.concatenate(outs, axis=1)
+    ref = np.stack([signal.fftconvolve(x[i], h)[: x.shape[-1]] for i in range(c)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+
+
+def test_split_coeffs_matches_complex():
+    rng = np.random.default_rng(3)
+    spec = FilterSpec(block_length=64, n_partitions=3, dtype="float64")
+    h = rng.standard_normal((2, 150))
+    cr, ci = K.split_coeffs(h, spec)
+    ref = np.asarray(F.to_numpy(cv.coeffs_to_spectra(h, spec)))
+    np.testing.assert_allclose(np.asarray(cr)[..., : spec.n_freq], ref.real, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ci)[..., : spec.n_freq], ref.imag, atol=1e-10)
+    assert cr.shape[-1] % 128 == 0
+
+
+def test_rfft_irfft_split_roundtrip():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, 2048))
+    F.set_mode("matmul")
+    try:
+        re, im = F.rfft_split(x)
+        y = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(np.asarray(re), y.real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(im), y.imag, atol=1e-9)
+        back = F.irfft_split(re, im, n=2048)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
+    finally:
+        F.set_mode("auto")
