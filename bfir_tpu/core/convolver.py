@@ -181,6 +181,29 @@ def step_rolled(
     )
 
 
+def step_crossfade(
+    state: ConvolverState,
+    coeff_old: jax.Array,
+    coeff_new: jax.Array,
+    block: jax.Array,
+) -> Tuple[ConvolverState, jax.Array]:
+    """One block during a filter change: outputs are computed with both
+    coefficient sets and linearly crossfaded over the block.
+
+    Equivalent of ``convolver_crossfade_inplace`` (fftw_convolver.cpp:
+    275-321) — the reference crossfades the two filtered time signals with
+    ramp n/(N-1) — lifted to the whole-engine step. The session uses this
+    for glitch-free reconfiguration (the reference plugin instead swaps
+    filters only at full re-init).
+    """
+    n = block.shape[-1]
+    mid_state, out_old = step(state, coeff_old, block)
+    _, out_new = step(state, coeff_new, block)
+    ramp = jnp.arange(n, dtype=out_old.dtype) / (n - 1)
+    out = out_old * (1.0 - ramp) + out_new * ramp
+    return mid_state, out
+
+
 def rolled_from_state(state: ConvolverState) -> ConvolverState:
     """Convert pointer-based ring state (``step``) to rolled representation
     (``step_rolled``): rolled[i] = ring[(counter - 1 - i) mod P]."""

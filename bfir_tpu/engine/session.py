@@ -60,6 +60,8 @@ class StreamProcessor:
         self._coeffs = None
         self._pending = None  # np [C, <N] partial input block
         self._step = jax.jit(cv.step, donate_argnums=0)
+        self._xfade_step = jax.jit(cv.step_crossfade)
+        self._pending_swap = None
         self._dither_state = None
         self._overflow = None
         self._last_overflow = None
@@ -77,10 +79,46 @@ class StreamProcessor:
         return self.config.filter.block_length
 
     def reconfigure(self, config: EngineConfig) -> None:
-        """Swap the config snapshot; rebuild at the next block boundary."""
+        """Swap the config snapshot; rebuild at the next block boundary.
+
+        When the new chain keeps the engine geometry (same block length,
+        partition count, dtype) the coefficients are swapped in place and the
+        next block is rendered with a linear crossfade between old and new
+        filters (core.convolver.step_crossfade) — glitch-free, unlike the
+        reference which swaps only at full re-init."""
+        old_cfg = self.config
         self.config = config
-        self._channels = 0  # force re-init on next process()
         self._failed = False
+        if not self._channels or not self._active:
+            self._channels = 0  # full (re)build on next process()
+            return
+        same_geom = (
+            config.filter.block_length == old_cfg.filter.block_length
+            and config.filter.dtype == old_cfg.filter.dtype
+            and config.stream.apply_dither == old_cfg.stream.apply_dither
+        )
+        if not same_geom:
+            self._channels = 0
+            return
+        stream = StreamSpec(
+            n_channels=self._channels, sample_rate=self._rate,
+            in_format=config.stream.in_format, out_format=config.stream.out_format,
+            apply_dither=config.stream.apply_dither,
+        )
+        try:
+            built = build_chain(config, stream, self.cache)
+        except Exception as e:
+            pinfo("Chain rebuild failed (%s); passing through.", e)
+            self._active = False
+            return
+        if built.impulse is None or built.n_partitions != self.n_partitions:
+            self._channels = 0  # geometry changed (or chain gone): full path
+            if built.impulse is None:
+                self._active = False
+            return
+        fspec = self._runtime_filter_spec
+        new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
+        self._pending_swap = new_coeffs  # picked up at the next block
 
     def reset(self) -> None:
         """brutefir::reset (brutefir.cpp:345-367): clear all running state."""
@@ -163,8 +201,15 @@ class StreamProcessor:
         outs = []
         while buf.shape[1] >= n:
             block, buf = buf[:, :n], buf[:, n:]
+            swap = self._pending_swap
             with self.block_timer.measure():
-                self._state, out = self._step(self._state, self._coeffs, block)
+                if swap is not None:
+                    self._pending_swap = None
+                    self._state, out = self._xfade_step(
+                        self._state, self._coeffs, swap, block)
+                    self._coeffs = swap
+                else:
+                    self._state, out = self._step(self._state, self._coeffs, block)
                 out_np = np.asarray(out)
             # single-sample NaN/Inf guard (brutefir.cpp:313-321)
             if not np.isfinite(out_np[0, 0]):
@@ -189,6 +234,9 @@ class StreamProcessor:
         through one jitted ``lax.scan`` dispatch (identical outputs to the
         block loop; far fewer host round-trips). The partial tail is held
         like ``process``."""
+        if self._pending_swap is not None:
+            # a coefficient crossfade is queued: the block loop handles it
+            return self.process(frames, sample_rate)
         frames = np.atleast_2d(np.asarray(frames))
         rate = sample_rate or self._rate or self.config.stream.sample_rate
         if frames.shape[0] != self._channels or rate != self._rate:

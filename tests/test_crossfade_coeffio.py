@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from bfir_tpu.core import convolver as cv
+from bfir_tpu.core.spec import SampleFormat, FilterSpec
+from bfir_tpu.io import coeffio
+from bfir_tpu.ops import formats as fm
+
+
+# -- coeff loaders (coeff.cpp:32-277) ---------------------------------------
+
+
+def test_load_dirac():
+    h = coeffio.load_dirac(3, 64)
+    assert h.shape == (3, 64)
+    assert (h[:, 0] == 1.0).all() and np.abs(h).sum() == 3.0
+
+
+def test_load_text(tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text("# comment\n0.5\n-0.25\n0.125 0.0625\n\n; also comment\n1e-3\n")
+    h = coeffio.load_text(str(p))
+    np.testing.assert_allclose(h[0], [0.5, -0.25, 0.125, 0.0625, 1e-3])
+    (tmp_path / "empty.txt").write_text("# nothing\n")
+    with pytest.raises(ValueError):
+        coeffio.load_text(str(tmp_path / "empty.txt"))
+
+
+def test_load_raw(tmp_path):
+    rng = np.random.default_rng(0)
+    q = rng.integers(-32768, 32768, size=(1, 100), dtype=np.int64).astype(np.int32)
+    raw = fm.encode_int(q, SampleFormat.S16_LE)
+    p = tmp_path / "c.raw"
+    p.write_bytes(raw)
+    h = coeffio.load_raw(str(p), SampleFormat.S16_LE)
+    np.testing.assert_allclose(h * 32768.0, q)
+
+
+def test_load_sound(tmp_path):
+    from bfir_tpu.io import wavio
+
+    imp = np.random.default_rng(1).standard_normal((2, 50)) * 0.1
+    p = str(tmp_path / "c.wav")
+    wavio.write(p, imp.T, 44100, subtype="float64")
+    h = coeffio.load_sound(p)
+    np.testing.assert_allclose(h, imp, atol=1e-12)
+    assert coeffio.load_sound(p, max_taps=20).shape == (2, 20)
+
+
+# -- crossfade (fftw_convolver.cpp:275-321 semantics at step level) ----------
+
+
+def test_step_crossfade_endpoints():
+    rng = np.random.default_rng(2)
+    spec = FilterSpec(block_length=128, n_partitions=2, dtype="float64")
+    h_old = np.zeros(64); h_old[0] = 1.0      # identity
+    h_new = np.zeros(64); h_new[0] = 0.5      # -6 dB
+    co_old = cv.coeffs_to_spectra(h_old, spec)
+    co_new = cv.coeffs_to_spectra(h_new, spec)
+    st = cv.init_state(spec, 1)
+    # warm up with the old filter
+    x = rng.standard_normal((1, 128))
+    st, _ = cv.step(st, co_old, x)
+    blk = np.ones((1, 128))
+    st2, out = cv.step_crossfade(st, co_old, co_new, blk)
+    out = np.asarray(out)[0]
+    # ramp: start == old filter output, end == new filter output
+    np.testing.assert_allclose(out[0], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out[-1], 0.5, atol=1e-9)
+    assert np.all(np.diff(out) <= 1e-9)  # monotone fade for constant input
+
+
+def test_session_reconfigure_crossfades(tmp_path):
+    from tests.test_engine import make_config, save_impulse
+    from bfir_tpu.engine.cache import ArtifactCache
+    from bfir_tpu.engine.session import StreamProcessor
+
+    h1 = np.zeros((2, 8)); h1[:, 0] = 1.0
+    h2 = np.zeros((2, 8)); h2[:, 0] = 0.25
+    p1 = save_impulse(tmp_path, "a.wav", h1)
+    p2 = save_impulse(tmp_path, "b.wav", h2)
+    cache = ArtifactCache(str(tmp_path / "c"))
+    sp = StreamProcessor(make_config(tmp_path, files=[(p1, 0, False)]), cache)
+    x = np.ones((2, 256))
+    y1 = sp.process(x)
+    np.testing.assert_allclose(y1, 1.0, atol=1e-9)
+    sp.reconfigure(make_config(tmp_path, files=[(p2, 0, False)]))
+    y2 = sp.process(x)  # crossfade block then steady state
+    # first block fades 1.0 -> 0.25, second block is fully the new filter
+    assert abs(y2[0, 0] - 1.0) < 1e-6
+    np.testing.assert_allclose(y2[:, 256:], 0.25, atol=1e-9) if y2.shape[1] > 256 else None
+    y3 = sp.process(x)
+    np.testing.assert_allclose(y3, 0.25, atol=1e-9)
+    # no discontinuity: concatenated output is monotone during the fade
+    seq = np.concatenate([y2[0], y3[0]])
+    assert np.all(np.diff(seq) <= 1e-6)
+
+
+def test_session_reconfigure_geometry_change_reinits(tmp_path):
+    from tests.test_engine import make_config, save_impulse
+    from bfir_tpu.engine.cache import ArtifactCache
+    from bfir_tpu.engine.session import StreamProcessor
+
+    h1 = np.zeros((2, 8)); h1[:, 0] = 1.0
+    h_long = np.zeros((2, 400)); h_long[:, 0] = 0.5  # forces 2 partitions
+    p1 = save_impulse(tmp_path, "a.wav", h1)
+    p2 = save_impulse(tmp_path, "long.wav", h_long)
+    cache = ArtifactCache(str(tmp_path / "c"))
+    sp = StreamProcessor(make_config(tmp_path, files=[(p1, 0, False)]), cache)
+    sp.process(np.ones((2, 256)))
+    assert sp.n_partitions == 1
+    sp.reconfigure(make_config(tmp_path, files=[(p2, 0, False)]))
+    y = sp.process(np.ones((2, 256)))
+    assert sp.n_partitions == 2
+    np.testing.assert_allclose(y[:, -1], 0.5, atol=1e-9)
