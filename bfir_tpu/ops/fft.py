@@ -54,7 +54,19 @@ def _use_matmul() -> bool:
     return jax.default_backend() != "cpu"
 
 
+# DFT matmul precision. HIGHEST = 6-pass bf16 emulation of f32 on the MXU
+# (accurate, slower); HIGH = 3-pass (~f32 accuracy for audio dynamic range).
+# Switchable for benchmarking; tests pin accuracy in both modes.
 _MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p: str) -> None:
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[p]
 
 
 @functools.lru_cache(maxsize=32)
