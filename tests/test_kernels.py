@@ -86,3 +86,24 @@ def test_rfft_irfft_split_roundtrip():
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
     finally:
         F.set_mode("auto")
+
+
+@pytest.mark.parametrize("blocks", [6])
+def test_step_packed_matches_split(blocks):
+    rng = np.random.default_rng(7)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    c = 2
+    h = rng.standard_normal(450) * 0.1
+    x = rng.standard_normal((c, 128 * blocks))
+
+    s1 = K.init_split_state(spec, c)
+    cr, ci = K.split_coeffs(h, spec)
+    s2 = K.init_packed_state(spec, c)
+    cpk = K.pack_coeffs(h, spec, c)
+    assert cpk.shape == (4, 2 * c, s2.ring.shape[-1])
+
+    for b in range(blocks):
+        blk = x[:, b * 128 : (b + 1) * 128]
+        s1, o1 = K.step_split(s1, cr, ci, blk, use_pallas=False)
+        s2, o2 = K.step_packed(s2, cpk, blk, interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-10)
