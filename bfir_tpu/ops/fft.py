@@ -283,14 +283,49 @@ def ifft(y, n=None, axis=-1):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=32)
+def _half_twiddle(m: int, dtype: str):
+    """e^{-2 pi i k / m} for k = 0..m//2-1 (the rfft-via-half-cfft unpack)."""
+    k = np.arange(m // 2)
+    ang = -2.0 * np.pi * k / m
+    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
+
+
 def rfft_split(x: jax.Array, n: Optional[int] = None):
-    """rfft over the last axis -> (re, im), each [..., n//2 + 1] real."""
+    """rfft over the last axis -> (re, im), each [..., n//2 + 1] real.
+
+    Large power-of-two sizes use the classic real-packing trick: pack
+    even/odd samples as one complex vector, run a single M/2 complex
+    four-step FFT, and untangle — half the transform work of a full-length
+    complex FFT of the zero-extended input.
+    """
     m = n or x.shape[-1]
     x = _pad_last(x, m)
     if _use_matmul():
         if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
-            xr, xi = _cfft_fourstep(x, jnp.zeros_like(x), m, inverse=False)
-            return xr[..., : m // 2 + 1], xi[..., : m // 2 + 1]
+            h = m // 2
+            zr = x[..., 0::2]
+            zi = x[..., 1::2]
+            zr, zi = _cfft_fourstep(zr, zi, h, inverse=False)
+            # Z*[h-k] terms: index 0 maps to itself, rest reversed
+            zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
+            zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
+            ar = 0.5 * (zr + zr_rev)
+            ai = 0.5 * (zi - zi_rev)
+            br = 0.5 * (zi + zi_rev)
+            bi = -0.5 * (zr - zr_rev)
+            twr, twi = _half_twiddle(m, x.dtype.name)
+            twr = jnp.asarray(twr)
+            twi = jnp.asarray(twi)
+            xr = ar + twr * br - twi * bi
+            xi = ai + twr * bi + twi * br
+            # k = h bin: X[h] = Re Z[0] - Im Z[0]
+            last_r = (zr[..., :1] - zi[..., :1])
+            last_i = jnp.zeros_like(last_r)
+            return (
+                jnp.concatenate([xr, last_r], axis=-1),
+                jnp.concatenate([xi, last_i], axis=-1),
+            )
         cr, ci = _rdft_weights(m, x.dtype.name)
         return (
             jnp.matmul(x, jnp.asarray(cr), precision=_MATMUL_PRECISION),
@@ -301,16 +336,39 @@ def rfft_split(x: jax.Array, n: Optional[int] = None):
 
 
 def irfft_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None) -> jax.Array:
-    """Inverse rfft from split re/im planes -> real [..., n]."""
+    """Inverse rfft from split re/im planes -> real [..., n].
+
+    Large sizes invert the real-packing trick: re-tangle the half spectrum
+    into an M/2 complex vector, one M/2 inverse four-step FFT, interleave.
+    """
     m = n or 2 * (yr.shape[-1] - 1)
     f = m // 2 + 1
     yr = _pad_last(yr, f)
     yi = _pad_last(yi, f)
     if _use_matmul():
         if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
-            yr_full = jnp.concatenate([yr, yr[..., -2:0:-1]], axis=-1)
-            yi_full = jnp.concatenate([yi, -yi[..., -2:0:-1]], axis=-1)
-            out, _ = _cfft_fourstep(yr_full, yi_full, m, inverse=True)
+            h = m // 2
+            # A[k] = 0.5 (X[k] + X*[h-k]); iB[k] = 0.5 (X[k] - X*[h-k]);
+            # Z[k] = A[k] + i e^{+2 pi i k/m} (iB[k]) ... derive on planes:
+            xr_k = yr[..., :h]
+            xi_k = yi[..., :h]
+            xr_rev = yr[..., h:0:-1]  # X[h-k], k=0..h-1
+            xi_rev = yi[..., h:0:-1]
+            # X*[h-k] = (xr_rev, -xi_rev)
+            ar = 0.5 * (xr_k + xr_rev)
+            ai = 0.5 * (xi_k - xi_rev)
+            dr = 0.5 * (xr_k - xr_rev)  # D = 0.5 (X[k] - X*[h-k])
+            di = 0.5 * (xi_k + xi_rev)
+            # Z[k] = A[k] + i W*[k] D[k], W* = e^{+2 pi i k/m}
+            twr, twi = _half_twiddle(m, yr.dtype.name)
+            twr = jnp.asarray(twr)
+            twi = -jnp.asarray(twi)  # conjugate twiddle
+            er = twr * dr - twi * di
+            ei = twr * di + twi * dr
+            zr = ar - ei
+            zi = ai + er
+            zr, zi = _cfft_fourstep(zr, zi, h, inverse=True)
+            out = jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], m)
             return out
         wr, wi = _irdft_weights(m, yr.dtype.name)
         return (
