@@ -124,14 +124,7 @@ def rfft(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
         x = jnp.moveaxis(x, axis, -1)
         return jnp.moveaxis(rfft(x, n=n, axis=-1), -1, axis)
     m = n or x.shape[-1]
-    x = _pad_last(x, m)
-    dt = x.dtype.name
-    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
-        xr, xi = _cfft_fourstep(x, jnp.zeros_like(x), m, inverse=False)
-        return jax.lax.complex(xr[..., : m // 2 + 1], xi[..., : m // 2 + 1])
-    cr, ci = _rdft_weights(m, dt)
-    xr = jnp.matmul(x, jnp.asarray(cr), precision=_MATMUL_PRECISION)
-    xi = jnp.matmul(x, jnp.asarray(ci), precision=_MATMUL_PRECISION)
+    xr, xi = rfft_split(x, n=m)
     return jax.lax.complex(xr, xi)
 
 
@@ -142,21 +135,7 @@ def irfft(y: jax.Array, n: Optional[int] = None, axis: int = -1) -> jax.Array:
         y = jnp.moveaxis(y, axis, -1)
         return jnp.moveaxis(irfft(y, n=n, axis=-1), -1, axis)
     m = n or 2 * (y.shape[-1] - 1)
-    f = m // 2 + 1
-    if y.shape[-1] != f:
-        y = _pad_last(y, f)
-    rdt = "float32" if y.dtype == jnp.complex64 else "float64"
-    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
-        # hermitian-extend the half spectrum and run a full inverse FFT
-        yr, yi = jnp.real(y), jnp.imag(y)
-        yr_full = jnp.concatenate([yr, yr[..., -2:0:-1]], axis=-1)
-        yi_full = jnp.concatenate([yi, -yi[..., -2:0:-1]], axis=-1)
-        out, _ = _cfft_fourstep(yr_full, yi_full, m, inverse=True)
-        return out
-    wr, wi = _irdft_weights(m, rdt)
-    out = jnp.matmul(jnp.real(y), jnp.asarray(wr), precision=_MATMUL_PRECISION)
-    out = out + jnp.matmul(jnp.imag(y), jnp.asarray(wi), precision=_MATMUL_PRECISION)
-    return out
+    return irfft_split(jnp.real(y), jnp.imag(y), n=m)
 
 
 # Above this size, use the four-step (Bailey) factorization instead of one

@@ -52,6 +52,7 @@ class ShardedEngine:
             out_shardings=(self._state_shardings, self._block_sharding),
             donate_argnums=0,
         )
+        self._batch = None
         # placement helpers that work for complex dtypes on backends where
         # complex host->device transfer is unavailable (see ops.fft)
         self._place_coeffs = jax.jit(lambda x: x, out_shardings=self._coeff_sharding)
@@ -70,6 +71,30 @@ class ShardedEngine:
 
     def step(self, state, coeffs, block) -> Tuple[cv.ConvolverState, jax.Array]:
         return self._step(state, coeffs, block)
+
+    def process_batch(self, state, coeffs, blocks) -> Tuple[cv.ConvolverState, jax.Array]:
+        """Sharded bulk mode: B blocks per dispatch (core.convolver.
+        process_batch) with channels sharded over "c" and the ring/coeffs
+        over ("p", "c"). The block-axis FFT intermediates carry no partition
+        axis, so the "p" shards only hold ring/coeff storage while "c"
+        parallelizes the compute — the pod-scale layout of BASELINE
+        config #5 (channels across hosts, partitions within).
+
+        Note: ``process_batch`` uses the pointer-indexed ring, so the state
+        must be in pointer representation (``init_state_ptr``); the rolled
+        ``step`` state is not interchangeable mid-stream.
+        """
+        if self._batch is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            blocks_sh = NamedSharding(self.mesh, P(None, "c", None))
+            self._batch = jax.jit(
+                cv.process_batch,
+                in_shardings=(self._state_shardings, self._coeff_sharding, blocks_sh),
+                out_shardings=(self._state_shardings, blocks_sh),
+                donate_argnums=0,
+            )
+        return self._batch(state, coeffs, blocks)
 
 
 def dryrun(n_devices: Optional[int] = None, mesh: Optional[Mesh] = None) -> None:

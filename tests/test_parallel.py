@@ -2,6 +2,7 @@
 (SURVEY.md §4c: this is how multi-chip is validated without a pod)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -83,3 +84,27 @@ def test_mesh_validation(devices):
 
 def test_dryrun(devices):
     dryrun(8)
+
+
+def test_sharded_batch_matches_single_device(devices):
+    rng = np.random.default_rng(9)
+    mesh = M.make_mesh(channel_shards=4, partition_shards=2)
+    spec = FilterSpec(block_length=64, n_partitions=4, dtype="float64")
+    c, b = 8, 6
+    eng = ShardedEngine(spec, c, mesh)
+    h = rng.standard_normal((c, spec.max_taps)) * 0.1
+    coeffs = eng.prepare_coeffs(h)
+    state = eng.init_state()  # zero state is valid in both representations
+
+    blocks = rng.standard_normal((b, c, 64))
+    state, outs = eng.process_batch(state, coeffs, jnp.asarray(blocks))
+
+    st1 = cv.init_state(spec, c)
+    co1 = cv.coeffs_to_spectra(h, spec)
+    st1, ref = cv.process_batch(st1, co1, jnp.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(ref), atol=1e-10)
+    # continued batch agrees too (state threading across sharded batches)
+    blocks2 = rng.standard_normal((b, c, 64))
+    state, outs2 = eng.process_batch(state, coeffs, jnp.asarray(blocks2))
+    st1, ref2 = cv.process_batch(st1, co1, jnp.asarray(blocks2))
+    np.testing.assert_allclose(np.asarray(outs2), np.asarray(ref2), atol=1e-10)
