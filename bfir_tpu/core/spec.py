@@ -255,6 +255,13 @@ class EngineConfig:
     overflow_warnings: bool = False
     cli_enabled: bool = False
     cli_port: int = 3000  # default_cfg_cli_port (common.h:23)
+    # streaming compute path: "auto" picks the packed Pallas kernel on TPU
+    # and the complex-dtype jnp path on CPU; force with "complex"/"packed"
+    engine_mode: str = "auto"
+
+    def __post_init__(self):
+        if self.engine_mode not in ("auto", "complex", "packed"):
+            raise ValueError(f"engine_mode must be auto/complex/packed, got {self.engine_mode!r}")
 
 
 # ---------------------------------------------------------------------------

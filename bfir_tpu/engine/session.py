@@ -62,6 +62,8 @@ class StreamProcessor:
         self._step = jax.jit(cv.step, donate_argnums=0)
         self._xfade_step = jax.jit(cv.step_crossfade)
         self._pending_swap = None
+        self._impl = "complex"
+        self._step_packed = None
         self._dither_state = None
         self._overflow = None
         self._last_overflow = None
@@ -96,6 +98,8 @@ class StreamProcessor:
             config.filter.block_length == old_cfg.filter.block_length
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
+            and self._impl == "complex"  # crossfade implemented on the
+            # complex path; packed engines rebuild (cold swap) for now
         )
         if not same_geom:
             self._channels = 0
@@ -125,9 +129,20 @@ class StreamProcessor:
         if self._channels:
             self._init_runtime_state()
 
+    def _resolve_engine_mode(self) -> str:
+        mode = self.config.engine_mode
+        if mode == "auto":
+            return "packed" if jax.default_backend() != "cpu" else "complex"
+        return mode
+
     def _init_runtime_state(self) -> None:
         fspec = self._runtime_filter_spec
-        self._state = cv.init_state(fspec, self._channels)
+        if self._impl == "packed":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            self._state = K.init_packed_state(fspec, self._channels)
+        else:
+            self._state = cv.init_state(fspec, self._channels)
         self._pending = np.zeros((self._channels, 0), dtype=fspec.dtype)
         dt = np.float32 if fspec.dtype == "float32" else np.float64
         self._overflow = dth.init_overflow_stats(self._channels, dtype=dt)
@@ -160,8 +175,20 @@ class StreamProcessor:
             self._active = False
             return
         self.n_partitions = built.n_partitions
+        self._impl = self._resolve_engine_mode()
         fspec = self._runtime_filter_spec
-        self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
+        if self._impl == "packed":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            self._coeffs = K.pack_coeffs(built.impulse, fspec, self._channels,
+                                         scale=built.scale)
+            interp = jax.default_backend() == "cpu"
+            self._step_packed = jax.jit(
+                lambda s, g, blk: K.step_packed(s, g, blk, interpret=interp),
+                donate_argnums=0,
+            )
+        else:
+            self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._init_runtime_state()
         self._active = True
         pinfo("Filter length: %u samples, %u blocks.",
@@ -208,6 +235,8 @@ class StreamProcessor:
                     self._state, out = self._xfade_step(
                         self._state, self._coeffs, swap, block)
                     self._coeffs = swap
+                elif self._impl == "packed":
+                    self._state, out = self._step_packed(self._state, self._coeffs, block)
                 else:
                     self._state, out = self._step(self._state, self._coeffs, block)
                 out_np = np.asarray(out)
@@ -234,8 +263,9 @@ class StreamProcessor:
         through one jitted ``lax.scan`` dispatch (identical outputs to the
         block loop; far fewer host round-trips). The partial tail is held
         like ``process``."""
-        if self._pending_swap is not None:
-            # a coefficient crossfade is queued: the block loop handles it
+        if self._pending_swap is not None or self._impl == "packed":
+            # crossfade queued or packed engine (scan path is complex-only):
+            # the block loop handles both
             return self.process(frames, sample_rate)
         frames = np.atleast_2d(np.asarray(frames))
         rate = sample_rate or self._rate or self.config.stream.sample_rate

@@ -128,20 +128,31 @@ def render_fir(
     band_freqs_hz: Sequence[float] = ISO_BANDS,
     band_phases_deg: Optional[Sequence[float]] = None,
     dtype=jnp.float64,
+    mode: str = "reference",
 ):
-    """Render the EQ to a causal FIR of length ``taps // 2``.
+    """Render the EQ to a FIR filter.
 
-    Mirrors ``equalizer::generate`` + ``render_d`` (equalizer.cpp:86-140,
-    306-394): synthesize the linear-phase spectrum over ``taps`` points,
-    inverse-FFT, and keep the upper half (the impulse is centered at
-    ``taps/2``, so the upper half is the causal part, peak at sample 0).
+    mode="reference" (default): mirrors ``equalizer::generate`` + ``render_d``
+    (equalizer.cpp:86-140, 306-394) — synthesize the linear-phase spectrum
+    over ``taps`` points, inverse-FFT, keep the upper half (length taps//2,
+    peak at sample 0). Realizes roughly half of narrow boosts (see module
+    docstring) — kept for parity.
+
+    mode="accurate": new capability — returns the full ``taps``-length
+    symmetric linear-phase FIR (group delay taps/2), which realizes the
+    requested curve exactly at the band resolution. Not available in the
+    reference; callers must account for the taps/2 latency.
     """
     if taps < 4 or taps & (taps - 1):
         raise ValueError(f"taps must be a power of two >= 4, got {taps}")
+    if mode not in ("reference", "accurate"):
+        raise ValueError(f"unknown mode {mode!r}")
     spectrum = synthesize_spectrum(
         taps, band_freqs_hz, band_mags_db, sample_rate, band_phases_deg, dtype=dtype
     )
     impulse = F.irfft(spectrum, n=taps)
+    if mode == "accurate":
+        return impulse.astype(dtype)
     return impulse[taps // 2 :].astype(dtype)
 
 

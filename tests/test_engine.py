@@ -252,3 +252,30 @@ def test_session_reconfigure(cache, tmp_path):
     sp.reconfigure(make_config(tmp_path, files=[(p, 0, False)]))
     y = sp.process(x)
     np.testing.assert_allclose(y, 0.2 * np.ones((2, 512)), atol=1e-12)
+
+
+def test_session_packed_engine_mode(cache, tmp_path):
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    h = rng.standard_normal((2, 300)) * 0.05
+    p = save_impulse(tmp_path, "hp.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="packed")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 1024))
+    y = sp.process(x)
+    assert sp._impl == "packed"
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+    # process_buffer falls back to the block loop on packed engines
+    y2 = sp.process_buffer(rng.standard_normal((2, 512)))
+    assert y2.shape == (2, 512)
+
+
+def test_engine_mode_validation():
+    import dataclasses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        EngineConfig(engine_mode="nope")

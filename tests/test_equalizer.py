@@ -137,3 +137,18 @@ def test_validation():
         eq.synthesize_spectrum(1024, [100.0, 50.0], [0, 0], 44100)  # not increasing
     with pytest.raises(ValueError):
         eq.synthesize_spectrum(1024, [100.0, 40000.0], [0, 0], 44100)  # > nyquist
+
+
+def test_accurate_mode_realizes_full_boost():
+    # the new accurate mode returns the full linear-phase FIR and realizes
+    # narrow boosts exactly (unlike the reference's causal-half render)
+    mags = [0.0] * 31
+    mags[17] = 6.0  # 1 kHz
+    rate = 44100
+    fir = np.asarray(eq.render_fir(65536, mags, rate, mode="accurate"))
+    assert fir.shape == (65536,)
+    w = np.exp(-2j * np.pi * 1000.0 / rate * np.arange(fir.size))
+    resp_db = 20 * np.log10(np.abs(np.sum(fir * w)))
+    assert abs(resp_db - 6.0) < 0.2
+    with pytest.raises(ValueError):
+        eq.render_fir(1024, mags, rate, mode="bogus")
