@@ -1,0 +1,166 @@
+"""BASELINE.json benchmark configs 1-4, runnable on one chip (or CPU).
+
+    python benchmarks/configs.py [--config N] [--cpu]
+
+Each config reports throughput and a scipy SNR check to stdout as one JSON
+line per config (bench.py remains the single-line headline harness; this
+script evidences the full workload matrix):
+
+1. mono 44.1 kHz, 4096-tap windowed-sinc lowpass, single partition
+2. stereo 10-band EQ -> FIR render -> 16384-tap convolution + 16-bit dither
+3. low-latency: 8 partitions x 512 taps, stereo, block 512
+4. 8-channel room correction, 65536 taps/ch @ 96 kHz, 44.1->96 resample
+(5. pod-scale lives in parallel/ — exercised by dryrun_multichip and
+    tests/test_parallel.py on a virtual mesh; real multi-host needs a pod.)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def snr_db(y, ref):
+    err = y - ref
+    return 10 * np.log10(float((ref**2).sum()) / max(float((err**2).sum()), 1e-300))
+
+
+def run_stream(spec, h, x, jax, jnp, dither_fmt=None):
+    """Stream x [C, T] through the engine; returns (y, seconds_per_block)."""
+    from scipy import signal
+
+    from bfir_tpu.core import convolver as cv
+    from bfir_tpu.ops import dither as dth
+    from bfir_tpu.ops import formats as fm
+
+    c, t = x.shape
+    n = spec.block_length
+    st = cv.init_state(spec, c)
+    co = cv.coeffs_to_spectra(h, spec)
+    step = jax.jit(cv.step, donate_argnums=0)
+    dst = dth.init_dither_state(c, dtype=np.float32) if dither_fmt else None
+    of = dth.init_overflow_stats(c, dtype=np.float32)
+    outs = []
+    nblk = t // n
+    st, out = step(st, co, jnp.asarray(x[:, :n]))  # compile
+    st = cv.init_state(spec, c)
+    t0 = time.time()
+    for b in range(nblk):
+        st, out = step(st, co, jnp.asarray(x[:, b * n : (b + 1) * n]))
+        if dither_fmt is not None:
+            q, of, dst = fm.output_stage(out, dither_fmt, of, dst)
+            outs.append(np.asarray(q) / dither_fmt.full_scale)
+        else:
+            outs.append(np.asarray(out))
+    dt = (time.time() - t0) / nblk
+    return np.concatenate(outs, axis=1), dt
+
+
+def config1(jax, jnp):
+    from bfir_tpu.core.spec import FilterSpec
+    from bfir_tpu.ops.firwindow import design_lowpass
+    from scipy import signal
+
+    rate = 44100
+    h = design_lowpass(4096, 8000 / rate, beta=9.0).astype(np.float32)
+    spec = FilterSpec(block_length=4096, n_partitions=1, dtype="float32")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4096 * 16)).astype(np.float32) * 0.5
+    y, dt = run_stream(spec, h, x, jax, jnp)
+    ref = signal.fftconvolve(x[0].astype(np.float64), h.astype(np.float64))[: y.shape[1]]
+    return dict(config=1, desc="mono 4096-tap lowpass, 1 partition",
+                ms_per_block=dt * 1e3, samples_per_s=x.shape[0] * spec.block_length / dt,
+                snr_db=snr_db(y[0], ref))
+
+
+def config2(jax, jnp):
+    from bfir_tpu.core.spec import FilterSpec, SampleFormat
+    from bfir_tpu.ops.equalizer import render_fir
+    from scipy import signal
+
+    rate = 44100
+    mags = [0.0] * 31
+    for b in range(8, 18):
+        mags[b] = 4.0
+    h1 = np.asarray(render_fir(32768, mags, rate, dtype=jnp.float32))[:16384]
+    h = np.stack([h1, h1])
+    spec = FilterSpec(block_length=1024, n_partitions=16, dtype="float32")
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 1024 * 32)).astype(np.float32) * 0.1
+    y, dt = run_stream(spec, h, x, jax, jnp, dither_fmt=SampleFormat.S16_LE)
+    ref = signal.fftconvolve(x[0].astype(np.float64), h[0].astype(np.float64))[: y.shape[1]]
+    return dict(config=2, desc="stereo EQ->16384-tap conv + s16 dither",
+                ms_per_block=dt * 1e3, samples_per_s=2 * spec.block_length / dt,
+                snr_db=snr_db(y[0], ref))
+
+
+def config3(jax, jnp):
+    from bfir_tpu.core.spec import FilterSpec
+    from scipy import signal
+
+    spec = FilterSpec(block_length=512, n_partitions=8, dtype="float32")
+    rng = np.random.default_rng(2)
+    h = (rng.standard_normal((2, 4096)) * np.exp(-np.arange(4096) / 1000)).astype(np.float32) * 0.1
+    x = rng.standard_normal((2, 512 * 64)).astype(np.float32)
+    y, dt = run_stream(spec, h, x, jax, jnp)
+    ref = signal.fftconvolve(x[0].astype(np.float64), h[0].astype(np.float64))[: y.shape[1]]
+    return dict(config=3, desc="low-latency 8x512-tap partitions, block 512",
+                ms_per_block=dt * 1e3, samples_per_s=2 * spec.block_length / dt,
+                snr_db=snr_db(y[0], ref), latency_ms=512 / 44.1)
+
+
+def config4(jax, jnp):
+    from bfir_tpu.core.spec import FilterSpec
+    from bfir_tpu.ops.resample import resample
+    from scipy import signal
+
+    rng = np.random.default_rng(3)
+    # impulse authored at 44.1k, resampled to the 96k stream rate
+    h441 = (rng.standard_normal((8, 30000)) * np.exp(-np.arange(30000) / 8000)).astype(np.float64) * 0.05
+    t0 = time.time()
+    h96 = np.asarray(resample(h441, 44100, 96000, dtype=np.float64))[:, :65536].astype(np.float32)
+    resample_s = time.time() - t0
+    spec = FilterSpec(block_length=1024, n_partitions=64, dtype="float32")
+    x = rng.standard_normal((8, 1024 * 16)).astype(np.float32) * 0.2
+    y, dt = run_stream(spec, h96, x, jax, jnp)
+    ref = signal.fftconvolve(x[0].astype(np.float64), h96[0].astype(np.float64))[: y.shape[1]]
+    return dict(config=4, desc="8ch 65536 taps @ 96kHz with 44.1->96 resample",
+                ms_per_block=dt * 1e3, samples_per_s=8 * spec.block_length / dt,
+                snr_db=snr_db(y[0], ref), resample_s=resample_s)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    log(f"backend={jax.default_backend()}")
+    runners = {1: config1, 2: config2, 3: config3, 4: config4}
+    todo = [args.config] if args.config else sorted(runners)
+    for n in todo:
+        try:
+            res = runners[n](jax, jnp)
+            res = {k: (round(v, 2) if isinstance(v, float) else v) for k, v in res.items()}
+            print(json.dumps(res), flush=True)
+        except Exception as e:
+            print(json.dumps({"config": n, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

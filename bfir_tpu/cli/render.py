@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dither", action="store_true")
     p.add_argument("--auto-attenuate", action="store_true",
                    help="apply the white-noise headroom probe to each impulse")
+    p.add_argument("--serve", type=int, metavar="PORT", default=None,
+                   help="run the TCP control server on PORT during rendering "
+                        "(same protocol as the reference plugin)")
     return p
 
 
@@ -104,6 +107,14 @@ def main(argv=None) -> int:
             cfg, chain=dataclasses.replace(cfg.chain, files=tuple(files)))
 
     sp = StreamProcessor(cfg)
+    server = None
+    if args.serve is not None:
+        from bfir_tpu.cli.server import ControlServer
+        from bfir_tpu.cli.store import ConfigStore
+
+        store = ConfigStore(cfg, on_change=sp.reconfigure)
+        server = ControlServer(store, port=args.serve)
+        server.start()
     x = audio.T  # [C, T]
     y = sp.process_buffer(x, sample_rate=rate)
     if not sp._active:
@@ -123,6 +134,8 @@ def main(argv=None) -> int:
         print(f"warning: {int(np.sum(of.n_overflows))} overflowed samples",
               file=sys.stderr)
     print(f"rendered {t} frames x {x.shape[0]} ch @ {rate} Hz -> {args.output}")
+    if server is not None:
+        server.stop()
     return 0
 
 

@@ -73,6 +73,8 @@ def resample(
     """
     if rate_in < 1 or rate_out < 1:
         raise ValueError(f"sample rates must be >= 1, got {rate_in} -> {rate_out}")
+    if dtype is not None and not jax.dtypes.canonicalize_dtype(dtype) == jnp.dtype(dtype):
+        dtype = jax.dtypes.canonicalize_dtype(dtype)  # f64 -> f32 when x64 off
     x = jnp.asarray(x)
     if dtype is not None:
         x = x.astype(dtype)
