@@ -199,11 +199,19 @@ class StreamProcessor:
     def _runtime_filter_spec(self) -> FilterSpec:
         """The filter spec with the partition count implied by the chain
         (the plugin derives filter_blocks from the impulse length,
-        foo_dsp_bfir.cpp:270-272)."""
+        foo_dsp_bfir.cpp:270-272). float64 degrades to float32 with a
+        warning when x64 is unavailable (TPU): better an explicit decision
+        than jax's silent truncation + per-op warning spam."""
+        dtype = self.config.filter.dtype
+        if dtype == "float64" and not jax.config.jax_enable_x64:
+            if not getattr(self, "_warned_f64", False):
+                pinfo("float64 unavailable (x64 disabled); engine runs float32.")
+                self._warned_f64 = True
+            dtype = "float32"
         return FilterSpec(
             block_length=self.config.filter.block_length,
             n_partitions=max(1, self.n_partitions),
-            dtype=self.config.filter.dtype,
+            dtype=dtype,
         )
 
     # -- streaming ----------------------------------------------------------
