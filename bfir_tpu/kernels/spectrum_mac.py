@@ -102,6 +102,111 @@ def mac_pallas_packed(ring_pk, coeff_pk, pos, interpret: bool = False):
     return yr, yi
 
 
+def chunk_reverse_coeffs(coeff_pk: jax.Array, k: int) -> jax.Array:
+    """Reverse the partition order within each K-chunk (prep for
+    mac_pallas_chunked's contiguous ring slices; see its docstring)."""
+    p, c2, fp = coeff_pk.shape
+    return coeff_pk.reshape(p // k, k, c2, fp)[:, ::-1].reshape(p, c2, fp)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def mac_pallas_chunked(ring2_pk, coeff_rk, pos, k: int = 4, interpret: bool = False):
+    """Partition MAC with K partitions per grid step and double-buffered
+    manual DMA of the ring.
+
+    The per-slot kernels measured DMA-latency-bound (~9us per 1.2MB step).
+    This variant cuts grid steps by K and keeps the ring read as one large
+    contiguous DMA per step:
+
+    - ``ring2_pk`` [2P, 2C, Fp] is the ring *doubled* (slot s duplicated at
+      s+P) so the K delayed slots of any chunk are one contiguous slice
+      ``ring2[pos + P - (i+1)K + 1 : .. + K]`` — no modulo wrap.
+    - ``coeff_rk`` is the packed coeffs with each K-chunk's partition order
+      reversed (``chunk_reverse_coeffs``): slice element t pairs with
+      coefficient iK + K-1-t, so reversed storage makes the pairing aligned.
+    - the ring slice start depends on the scalar-prefetched ``pos``, hence
+      manual ``make_async_copy`` from HBM with two VMEM slots, prefetching
+      chunk i+1 while chunk i computes; coeffs ride the normal BlockSpec
+      pipeline.
+
+    Returns (yr, yi) [C, Fp].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p2, c2, fp = ring2_pk.shape
+    p = p2 // 2
+    c = c2 // 2
+    dt = ring2_pk.dtype
+    if p % k:
+        raise ValueError(f"chunk size {k} must divide partition count {p}")
+    nchunks = p // k
+
+    def kernel(pos_ref, ring2_hbm, g, yr, yi, rbuf, sems):
+        i = pl.program_id(0)
+        pos = pos_ref[0]
+
+        def dma(j, slot):
+            start = pos + p - (j + 1) * k + 1
+            return pltpu.make_async_copy(
+                ring2_hbm.at[pl.ds(start, k)], rbuf.at[slot], sems.at[slot]
+            )
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma(i + 1, (i + 1) % 2).start()
+
+        dma(i, i % 2).wait()
+        r = rbuf[i % 2]  # [K, 2C, Fp]
+        rr = r[:, :c, :]
+        ri = r[:, c:, :]
+        cr = g[:, :c, :]
+        ci = g[:, c:, :]
+        a_r = jnp.sum(cr * rr - ci * ri, axis=0)
+        a_i = jnp.sum(cr * ri + ci * rr, axis=0)
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ring2 stays in HBM
+            pl.BlockSpec((k, c2, fp), lambda i, pos_ref: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, fp), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((c, fp), lambda i, pos_ref: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, k, c2, fp), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, fp), dt),
+            jax.ShapeDtypeStruct((c, fp), dt),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring2_pk, coeff_rk)
+    return yr, yi
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mac_pallas(ring_re, ring_im, coeff_re, coeff_im, pos, interpret: bool = False):
     """Fused ring MAC as a Pallas kernel. Shapes: ring/coeff [P, C, Fp]
@@ -269,6 +374,56 @@ def step_packed(
     yr, yi = mac_pallas_packed(ring, coeff_pk, pos, interpret=interpret)
     out = F.irfft_split(yr[..., :f], yi[..., :f], n=2 * n)[..., n:]
     return PackedState(ring, block, state.blockcounter + 1), out
+
+
+class DoubledState(NamedTuple):
+    """Packed state with the ring doubled ([2P, 2C, Fp], slot s mirrored at
+    s+P) for the chunked-DMA kernel."""
+
+    ring2: jax.Array
+    prev_block: jax.Array
+    blockcounter: jax.Array
+
+
+def init_doubled_state(spec: FilterSpec, n_channels: int) -> DoubledState:
+    fp = _round_up(spec.n_freq, 128)
+    dt = jnp.dtype(spec.dtype)
+    return DoubledState(
+        ring2=jnp.zeros((2 * spec.n_partitions, 2 * n_channels, fp), dtype=dt),
+        prev_block=jnp.zeros((n_channels, spec.block_length), dtype=dt),
+        blockcounter=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def step_chunked(
+    state: DoubledState,
+    coeff_rk: jax.Array,
+    block: jax.Array,
+    k: int = 4,
+    interpret: bool = False,
+) -> Tuple[DoubledState, jax.Array]:
+    """Streaming block step on the doubled-ring/chunk-reversed-coeff
+    representation (coeffs from ``chunk_reverse_coeffs(pack_coeffs(...), k)``).
+    Outputs match ``step_split`` to fp rounding."""
+    p2, c2, fp = state.ring2.shape
+    p = p2 // 2
+    c = c2 // 2
+    n = block.shape[-1]
+    f = n + 1
+    block = block.astype(state.prev_block.dtype)
+    frame = jnp.concatenate([state.prev_block, block], axis=-1)
+    xr, xi = F.rfft_split(frame)
+    xpk = jnp.concatenate(
+        [jnp.pad(xr, ((0, 0), (0, fp - f))), jnp.pad(xi, ((0, 0), (0, fp - f)))],
+        axis=0,
+    )[None]
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring2 = jax.lax.dynamic_update_slice(state.ring2, xpk, (pos, zero, zero))
+    ring2 = jax.lax.dynamic_update_slice(ring2, xpk, (pos + p, zero, zero))
+    yr, yi = mac_pallas_chunked(ring2, coeff_rk, pos, k=k, interpret=interpret)
+    out = F.irfft_split(yr[..., :f], yi[..., :f], n=2 * n)[..., n:]
+    return DoubledState(ring2, block, state.blockcounter + 1), out
 
 
 def step_split(

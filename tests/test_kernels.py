@@ -107,3 +107,32 @@ def test_step_packed_matches_split(blocks):
         s1, o1 = K.step_split(s1, cr, ci, blk, use_pallas=False)
         s2, o2 = K.step_packed(s2, cpk, blk, interpret=True)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-10)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_step_chunked_matches_split(k):
+    rng = np.random.default_rng(8)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    c = 2
+    h = rng.standard_normal(450) * 0.1
+    x = rng.standard_normal((c, 128 * 7))
+
+    s1 = K.init_split_state(spec, c)
+    cr, ci = K.split_coeffs(h, spec)
+    s3 = K.init_doubled_state(spec, c)
+    crk = K.chunk_reverse_coeffs(K.pack_coeffs(h, spec, c), k)
+
+    for b in range(7):
+        blk = x[:, b * 128 : (b + 1) * 128]
+        s1, o1 = K.step_split(s1, cr, ci, blk, use_pallas=False)
+        s3, o3 = K.step_chunked(s3, crk, blk, k=k, interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o3), atol=1e-10,
+                                   err_msg=f"block {b} k={k}")
+
+
+def test_chunk_reverse_coeffs():
+    x = np.arange(8 * 2 * 4, dtype=np.float64).reshape(8, 2, 4)
+    y = np.asarray(K.chunk_reverse_coeffs(x, 4))
+    np.testing.assert_array_equal(y[0], x[3])
+    np.testing.assert_array_equal(y[3], x[0])
+    np.testing.assert_array_equal(y[4], x[7])
