@@ -34,6 +34,7 @@ the next format change).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import jax
@@ -59,6 +60,7 @@ class StreamProcessor:
         self._state = None
         self._coeffs = None
         self._pending = None  # np [C, <N] partial input block
+        self._lock = threading.RLock()
         self._step = jax.jit(cv.step, donate_argnums=0)
         self._xfade_step = jax.jit(cv.step_crossfade)
         self._pending_swap = None
@@ -88,6 +90,10 @@ class StreamProcessor:
         next block is rendered with a linear crossfade between old and new
         filters (core.convolver.step_crossfade) — glitch-free, unlike the
         reference which swaps only at full re-init."""
+        with self._lock:
+            self._reconfigure_locked(config)
+
+    def _reconfigure_locked(self, config: EngineConfig) -> None:
         old_cfg = self.config
         self.config = config
         self._failed = False
@@ -222,8 +228,12 @@ class StreamProcessor:
         fewer than T; the remainder is held until the next call).
 
         Passthrough (frames returned unmodified) when no chain is active or
-        after a NaN abort.
+        after a NaN abort. Thread-safe against concurrent reconfigure().
         """
+        with self._lock:
+            return self._process_locked(frames, sample_rate)
+
+    def _process_locked(self, frames, sample_rate=None) -> np.ndarray:
         frames = np.atleast_2d(np.asarray(frames))
         rate = sample_rate or self._rate or self.config.stream.sample_rate
         if frames.shape[0] != self._channels or rate != self._rate:
@@ -271,10 +281,14 @@ class StreamProcessor:
         through one jitted ``lax.scan`` dispatch (identical outputs to the
         block loop; far fewer host round-trips). The partial tail is held
         like ``process``."""
-        if self._pending_swap is not None or self._impl == "packed":
-            # crossfade queued or packed engine (scan path is complex-only):
-            # the block loop handles both
-            return self.process(frames, sample_rate)
+        with self._lock:
+            if self._pending_swap is not None or self._impl == "packed":
+                # crossfade queued or packed engine (scan path is
+                # complex-only): the block loop handles both
+                return self._process_locked(frames, sample_rate)
+            return self._process_buffer_locked(frames, sample_rate)
+
+    def _process_buffer_locked(self, frames, sample_rate=None) -> np.ndarray:
         frames = np.atleast_2d(np.asarray(frames))
         rate = sample_rate or self._rate or self.config.stream.sample_rate
         if frames.shape[0] != self._channels or rate != self._rate:
