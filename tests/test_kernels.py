@@ -136,3 +136,23 @@ def test_chunk_reverse_coeffs():
     np.testing.assert_array_equal(y[0], x[3])
     np.testing.assert_array_equal(y[3], x[0])
     np.testing.assert_array_equal(y[4], x[7])
+
+
+def test_dither_pallas_matches_scan():
+    from bfir_tpu.ops import dither as dth
+
+    rng = np.random.default_rng(12)
+    c, n = 2, 512
+    x = rng.uniform(-30000, 30000, (c, n))
+    x[0, 5] = 40000.0  # force a clip
+    st = dth.init_dither_state(c, seed=3, dtype=np.float64)
+    of = dth.init_overflow_stats(c, dtype=np.float64)
+    q1, st1, of1 = dth.quantize_hp_tpdf(x, -32768, 32767, st, of)
+    q2, st2, of2 = dth.quantize_hp_tpdf(x, -32768, 32767, st, of,
+                                        use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_allclose(np.asarray(st1.e0), np.asarray(st2.e0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st1.e1), np.asarray(st2.e1), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(of1.n_overflows), np.asarray(of2.n_overflows))
+    np.testing.assert_allclose(np.asarray(of1.largest), np.asarray(of2.largest))
+    np.testing.assert_array_equal(np.asarray(of1.intlargest), np.asarray(of2.intlargest))
