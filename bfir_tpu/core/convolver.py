@@ -102,6 +102,18 @@ def coeffs_to_spectra(impulse, spec: FilterSpec, scale: float = 1.0) -> jax.Arra
     return F.rfft(parts, n=spec.n_fft, axis=-1)
 
 
+def spectra_to_impulse(coeff_spectra: jax.Array, spec: FilterSpec) -> jax.Array:
+    """Invert per-partition coefficient spectra back to the time-domain
+    impulse [C, P*N] — the reference's debug facility
+    ``convolver_debug_dump_cbuf`` (fftw_convolver.cpp:604-651), which
+    inverse-transforms each partition's cbuf for offline inspection.
+    Exact inverse of ``coeffs_to_spectra`` (up to fp rounding)."""
+    parts = F.irfft(coeff_spectra, n=spec.n_fft, axis=-1)  # [P, C, 2N]
+    parts = parts[..., : spec.block_length]  # zero-padded upper half dropped
+    p, c, n = parts.shape
+    return parts.transpose(1, 0, 2).reshape(c, p * n)
+
+
 def _delayed_ring(ring: jax.Array, blockcounter: jax.Array) -> jax.Array:
     """gathered[i] = ring[(blockcounter - i) mod P] — partition i sees the
     input spectrum delayed by i blocks (brutefir.cpp:292-299)."""

@@ -51,6 +51,18 @@ def load_raw(path: str, fmt: SampleFormat = SampleFormat.FLOAT64_LE,
     return fm.decode(raw, fmt, n_channels)
 
 
+def dump_text(path: str, impulse: np.ndarray) -> None:
+    """Write an impulse as one float per line (channel 0 only for
+    multi-channel), the format ``convolver_debug_dump_cbuf`` emits
+    (fftw_convolver.cpp:604-651) and ``load_text`` reads back."""
+    h = np.asarray(impulse)
+    if h.ndim == 2:
+        h = h[0]
+    with open(path, "w") as f:
+        for v in h:
+            f.write(f"{v:.17g}\n")
+
+
 def load_sound(path: str, max_taps: int = None) -> np.ndarray:
     audio, _rate = wavio.read(path)
     h = audio.T

@@ -113,3 +113,19 @@ def test_session_reconfigure_geometry_change_reinits(tmp_path):
     y = sp.process(np.ones((2, 256)))
     assert sp.n_partitions == 2
     np.testing.assert_allclose(y[:, -1], 0.5, atol=1e-9)
+
+
+def test_spectra_to_impulse_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    spec = FilterSpec(block_length=64, n_partitions=3, dtype="float64")
+    h = rng.standard_normal((2, 150))
+    co = cv.coeffs_to_spectra(h, spec)
+    back = np.asarray(cv.spectra_to_impulse(co, spec))
+    assert back.shape == (2, 192)
+    np.testing.assert_allclose(back[:, :150], h, atol=1e-12)
+    np.testing.assert_allclose(back[:, 150:], 0.0, atol=1e-12)
+    # debug dump -> text -> load roundtrip (fftw_convolver.cpp:604-651)
+    p = str(tmp_path / "dump.txt")
+    coeffio.dump_text(p, back)
+    re = coeffio.load_text(p)
+    np.testing.assert_allclose(re[0], back[0], atol=1e-15)
