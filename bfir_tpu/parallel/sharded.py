@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
@@ -95,6 +96,72 @@ class ShardedEngine:
                 donate_argnums=0,
             )
         return self._batch(state, coeffs, blocks)
+
+
+def make_ppermute_step(mesh: Mesh, spec: FilterSpec, n_channels: int):
+    """Explicit ICI ring-pipeline step via shard_map (SURVEY.md §2: "rotate
+    spectrum ring slices while accumulating partial sums").
+
+    State layout equals the *rolled* representation sharded over ("p","c"):
+    globally, ring[i] holds the spectrum delayed by i blocks, so the shard
+    on partition-device p covers delays [p*K, (p+1)*K). Per step:
+
+    - every device computes the new input spectrum locally (cheap, avoids a
+      broadcast),
+    - each device ppermutes its *oldest* slot to the next device — the only
+      inter-device data motion, one [C_local, F] spectrum over a
+      nearest-neighbor ICI hop,
+    - shifts its local ring by one, inserting the received spectrum (device
+      0 inserts the fresh one),
+    - MACs its local partitions and psums partials over "p".
+
+    Numerically identical to ``core.convolver.step_rolled``; unlike the
+    GSPMD-compiled version, the communication schedule is explicit and
+    guaranteed nearest-neighbor.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.ops import fft as F
+
+    n = spec.block_length
+    np_shards = mesh.shape["p"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("p", "c", None), P("c", None), P(), P("p", "c", None), P("c", None)),
+        out_specs=(P("p", "c", None), P("c", None), P(), P("c", None)),
+    )
+    def body(ring_local, prev_local, counter, coeffs_local, block_local):
+        block_local = block_local.astype(prev_local.dtype)
+        frame = jnp.concatenate([prev_local, block_local], axis=-1)
+        x = F.rfft(frame, axis=-1)  # [C_local, F], identical on every p shard
+
+        oldest = ring_local[-1]
+        if np_shards > 1:
+            recv = jax.lax.ppermute(
+                oldest, "p", [(i, (i + 1) % np_shards) for i in range(np_shards)]
+            )
+        else:
+            recv = oldest
+        p_idx = jax.lax.axis_index("p")
+        newest = jnp.where(p_idx == 0, x, recv)
+        ring_local = jnp.concatenate([newest[None], ring_local[:-1]], axis=0)
+
+        y = jax.lax.psum(jnp.sum(coeffs_local * ring_local, axis=0), "p")
+        out = F.irfft(y, axis=-1)[..., n:]
+        return ring_local, block_local, counter + 1, out
+
+    def step(state: cv.ConvolverState, coeffs, block):
+        ring, prev, counter, out = body(
+            state.spectra_ring, state.prev_block, state.blockcounter, coeffs, block
+        )
+        return cv.ConvolverState(ring, prev, counter), out
+
+    return step
 
 
 def dryrun(n_devices: Optional[int] = None, mesh: Optional[Mesh] = None) -> None:
