@@ -123,6 +123,7 @@ class StreamProcessor:
             return
         if built.impulse is None or built.n_partitions != self.n_partitions:
             self._channels = 0  # geometry changed (or chain gone): full path
+            self._pending_swap = None
             if built.impulse is None:
                 self._active = False
             return
@@ -160,6 +161,7 @@ class StreamProcessor:
 
     def _initialize(self, n_channels: int, rate: int) -> None:
         re_init = self._channels != 0
+        self._pending_swap = None  # a queued crossfade is void after rebuild
         if re_init:
             pinfo("Reinitializing filter.")
         self._channels = n_channels
