@@ -129,3 +129,34 @@ def test_spectra_to_impulse_roundtrip(tmp_path):
     coeffio.dump_text(p, back)
     re = coeffio.load_text(p)
     np.testing.assert_allclose(re[0], back[0], atol=1e-15)
+
+
+def test_stale_swap_voided_by_geometry_change(tmp_path):
+    # regression: a queued same-geometry swap must not survive a later
+    # geometry-changing reconfigure (found by the live TCP drive: EQM sets
+    # queued swaps, then EQEN changed the partition count)
+    import dataclasses
+
+    from tests.test_engine import make_config, save_impulse
+    from bfir_tpu.engine.cache import ArtifactCache
+    from bfir_tpu.engine.session import StreamProcessor
+
+    h = np.zeros((2, 8)); h[:, 0] = 1.0
+    p1 = save_impulse(tmp_path, "a.wav", h)
+    cache = ArtifactCache(str(tmp_path / "c"))
+    cfg = make_config(tmp_path, files=[(p1, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    sp.process(np.ones((2, 256)))
+
+    # queue a same-geometry swap (level change only)
+    cfg2 = make_config(tmp_path, files=[(p1, -60, False)])
+    sp.reconfigure(cfg2)
+    assert sp._pending_swap is not None
+
+    # then a geometry change (longer impulse -> more partitions)
+    h_long = np.zeros((2, 500)); h_long[:, 0] = 0.5
+    p2 = save_impulse(tmp_path, "b.wav", h_long)
+    sp.reconfigure(make_config(tmp_path, files=[(p2, 0, False)]))
+    y = sp.process(np.ones((2, 512)))  # must not crash on mismatched shapes
+    assert np.isfinite(y).all()
+    assert sp.n_partitions == 2
