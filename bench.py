@@ -97,13 +97,17 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
     from bfir_tpu.core import convolver as cv
 
     co = cv.coeffs_to_spectra(h, spec)
-    f = jax.jit(cv.process_batch, donate_argnums=0)
+    hs = cv.prepare_batch_coeffs(co, batch_blocks)
+    f = jax.jit(
+        lambda st, co_, hs_, blk: cv.process_batch(st, co_, blk, coeff_batch_fft=hs_),
+        donate_argnums=0,
+    )
     rng = np.random.default_rng(2)
     state = cv.init_state(spec, CHANNELS)
     blocks = jnp.asarray(
         rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32))
     t0 = time.time()
-    state, outs = f(state, co, blocks)
+    state, outs = f(state, co, hs, blocks)
     float(jnp.sum(outs))
     log(f"batch B={batch_blocks} compile: {time.time()-t0:.1f}s")
 
@@ -112,7 +116,7 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
 
     st2 = cv.init_state(spec, CHANNELS)
     xs = rng.standard_normal((4, CHANNELS, BLOCK)).astype(np.float32)
-    _, o = f(st2, co, jnp.asarray(xs))
+    _, o = f(st2, co, hs, jnp.asarray(xs))
     y = np.asarray(o).transpose(1, 0, 2).reshape(CHANNELS, -1)
     flat = xs.transpose(1, 0, 2).reshape(CHANNELS, -1)
     ref = signal.fftconvolve(flat[0].astype(np.float64), h[0].astype(np.float64))[: y.shape[1]]
@@ -128,7 +132,7 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
     times = []
     for i in range(n_iters):
         t0 = time.time()
-        state, outs = f(state, co, pool[i % 2])
+        state, outs = f(state, co, hs, pool[i % 2])
         float(jnp.sum(outs))
         times.append((time.time() - t0) / batch_blocks)
     per_block = float(np.median(times))
@@ -142,7 +146,8 @@ def main():
 
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    base = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() else os.getcwd()
+    cache_dir = os.path.join(base, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -242,10 +242,25 @@ def process_blocks(
     return jax.lax.scan(body, state, blocks)
 
 
+def batch_fft_len(b: int, p: int) -> int:
+    """Block-axis FFT length for a B-block batch with P partitions."""
+    return int(2 ** np.ceil(np.log2(max(b + 2 * (p - 1), 2))))
+
+
+def prepare_batch_coeffs(coeff_spectra: jax.Array, b: int) -> jax.Array:
+    """Precompute the block-axis FFT of the coefficient spectra for
+    ``process_batch`` with batch size ``b`` — static per filter, so hoisting
+    it out of the per-batch call saves one of the three block-axis
+    transforms (~1/3 of batch-mode time)."""
+    p = coeff_spectra.shape[0]
+    return F.fft(coeff_spectra, n=batch_fft_len(b, p), axis=0)
+
+
 def process_batch(
     state: ConvolverState,
     coeff_spectra: jax.Array,
     blocks: jax.Array,
+    coeff_batch_fft: Optional[jax.Array] = None,
 ) -> Tuple[ConvolverState, jax.Array]:
     """High-throughput batched processing of ``blocks`` [B, C, N].
 
@@ -255,6 +270,9 @@ def process_batch(
     evaluated with a second FFT *over the block axis* (convolution theorem),
     turning the O(B*P) MAC into O((B+P) log(B+P)) batched muls. This is the
     offline/bulk path; ``step`` is the one-block-latency path.
+
+    Pass ``coeff_batch_fft = prepare_batch_coeffs(coeff_spectra, B)`` to
+    skip recomputing the static coefficient transform per call.
     """
     p, _, f = coeff_spectra.shape
     b, c, n = blocks.shape
@@ -276,9 +294,12 @@ def process_batch(
 
     # Causal conv along block axis via FFT (zero-pad to L >= B+P-1 + P-1 to
     # avoid circular wrap of the history tail).
-    l = int(2 ** np.ceil(np.log2(max(b + 2 * (p - 1), 2))))
+    l = batch_fft_len(b, p)
     xs = F.fft(xpad, n=l, axis=0)
-    hs = F.fft(coeff_spectra, n=l, axis=0)
+    if coeff_batch_fft is not None and coeff_batch_fft.shape[0] == l:
+        hs = coeff_batch_fft
+    else:
+        hs = F.fft(coeff_spectra, n=l, axis=0)
     y_all = F.ifft(xs * hs, axis=0)  # [L, C, F]
     # output block b corresponds to xpad index (P-1)+b
     y = y_all[p - 1 : p - 1 + b]
