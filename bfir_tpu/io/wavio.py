@@ -138,6 +138,10 @@ def write(path: str, audio: np.ndarray, sample_rate: int, subtype: str = "float3
     elif subtype == "float64":
         tag, bits = WAVE_FORMAT_IEEE_FLOAT, 64
         payload = audio.astype("<f8").tobytes()
+    elif subtype == "pcm8":
+        tag, bits = WAVE_FORMAT_PCM, 8
+        q = np.clip(np.round(audio * 128.0) + 128, 0, 255).astype(np.uint8)
+        payload = q.tobytes()
     elif subtype == "pcm16":
         tag, bits = WAVE_FORMAT_PCM, 16
         q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype("<i2")

@@ -40,3 +40,13 @@ def test_mono_1d_write(tmp_path):
     back, _ = wavio.read(p)
     assert back.shape == (500, 1)
     np.testing.assert_allclose(back[:, 0], x, atol=1e-7)
+
+
+def test_pcm8_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-0.9, 0.9, (300, 2))
+    p = str(tmp_path / "u8.wav")
+    wavio.write(p, x, 22050, subtype="pcm8")
+    back, rate = wavio.read(p)
+    assert rate == 22050
+    np.testing.assert_allclose(back, x, atol=1 / 127.0)
