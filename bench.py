@@ -24,6 +24,7 @@ stderr; stdout carries exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -141,53 +142,85 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
     return sps, s
 
 
-def main():
+def _setup_jax():
     import os
 
     import jax
 
-    base = os.path.dirname(os.path.abspath(__file__)) if "__file__" in globals() else os.getcwd()
-    cache_dir = os.path.join(base, ".jax_cache")
+    if os.environ.get("BFIR_BENCH_CPU") == "1":
+        # JAX_PLATFORMS is consumed by this image's sitecustomize before we
+        # run; only the config update can force CPU (see CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+    base = (os.path.dirname(os.path.abspath(__file__))
+            if "__file__" in globals() else os.getcwd())
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(base, ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    return jax
 
+
+def _run_path(which: str):
+    """Run one bench path and print its result as JSON on stdout (invoked as
+    a subprocess so a wedged TPU tunnel cannot hang the whole bench)."""
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from bfir_tpu.core.spec import FilterSpec
 
     backend = jax.default_backend()
-    log(f"backend={backend} device={jax.devices()[0]}")
     on_cpu = backend == "cpu"
-
     spec = FilterSpec(block_length=BLOCK, n_partitions=PARTITIONS, dtype="float32")
     rng = np.random.default_rng(0)
     h = (rng.standard_normal((CHANNELS, spec.max_taps)) *
          np.exp(-np.arange(spec.max_taps) / 20000.0)).astype(np.float32) * 0.05
+    if which == "batch":
+        sps, s = bench_batch(spec, h, jnp, jax, n_iters=2 if on_cpu else 10,
+                             batch_blocks=16 if on_cpu else 128)
+        print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
+    else:
+        sps, p50, s = bench_streaming(spec, h, jnp, jax,
+                                      n_iters=5 if on_cpu else 50)
+        print(json.dumps({"sps": sps, "p50": p50, "snr": s, "backend": backend}))
 
-    stream_sps, p50, snr1 = 0.0, float("nan"), float("nan")
-    batch_sps, snr2 = 0.0, float("nan")
-    try:
-        stream_sps, p50, snr1 = bench_streaming(
-            spec, h, jnp, jax, n_iters=5 if on_cpu else 100)
-    except Exception as e:
-        log(f"streaming bench failed: {type(e).__name__}: {e}")
-    try:
-        batch_sps, snr2 = bench_batch(
-            spec, h, jnp, jax, n_iters=2 if on_cpu else 10,
-            batch_blocks=16 if on_cpu else 128)
-    except Exception as e:
-        log(f"batch bench failed: {type(e).__name__}: {e}")
+
+def main():
+    import subprocess
+
+    def sub(which, timeout):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--path", which],
+                capture_output=True, text=True, timeout=timeout)
+            sys.stderr.write(r.stderr)
+            for line in r.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+        except subprocess.TimeoutExpired:
+            log(f"{which} bench timed out")
+        except Exception as e:
+            log(f"{which} bench failed: {type(e).__name__}: {e}")
+        return {}
+
+    batch = sub("batch", 900)      # headline path first
+    stream = sub("stream", 600)
+
+    batch_sps = batch.get("sps", 0.0) or 0.0
+    stream_sps = stream.get("sps", 0.0) or 0.0
+    p50 = stream.get("p50", float("nan"))
+    snrs = [v for v in (batch.get("snr"), stream.get("snr")) if v is not None]
+    backend = batch.get("backend") or stream.get("backend") or "unknown"
 
     value = max(stream_sps, batch_sps)
     mode = "batch" if batch_sps >= stream_sps else "streaming"
     realtime = 44100.0 * CHANNELS
     print(json.dumps({
         "metric": "audio samples/sec/chip, 64ch x 131072-tap partitioned conv "
-                  f"({mode} mode, float32, {backend}; p50 stream latency "
-                  f"{p50*1e3:.2f} ms/block, SNR {np.nanmin([snr1, snr2]):.0f} dB)",
+                  f"({mode} mode, float32, {backend}; p50 stream dispatch "
+                  f"{(p50 or float('nan'))*1e3:.2f} ms/block, SNR "
+                  f"{min(snrs) if snrs else float('nan'):.0f} dB)",
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / realtime, 2),
@@ -195,4 +228,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--path" in sys.argv:
+        _run_path(sys.argv[sys.argv.index("--path") + 1])
+    else:
+        main()
