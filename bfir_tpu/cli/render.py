@@ -53,7 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block", type=int, default=1024)
     p.add_argument("--dtype", choices=["float32", "float64"], default="float64")
     p.add_argument("--out-format", choices=sorted(_SUBTYPE_FOR_FORMAT), default="float32")
-    p.add_argument("--dither", action="store_true")
+    p.add_argument("--dither", action="store_true",
+                   help="hp-TPDF dither + error feedback for integer output formats")
+    p.add_argument("--resample", action="store_true",
+                   help="resample impulse files whose rate differs from the input")
     p.add_argument("--auto-attenuate", action="store_true",
                    help="apply the white-noise headroom probe to each impulse")
     p.add_argument("--serve", type=int, metavar="PORT", default=None,
@@ -67,7 +70,8 @@ def config_from_args(args) -> EngineConfig:
     for i, path in enumerate(args.impulse[:3]):
         level_db = args.impulse_level[i] if i < len(args.impulse_level) else 0.0
         files.append(ImpulseFileSpec(enabled=True, filename=path,
-                                     level_steps=int(round(level_db * 10))))
+                                     level_steps=int(round(level_db * 10)),
+                                     resample=args.resample))
     while len(files) < 3:
         files.append(ImpulseFileSpec())
     eq = EqSpec()
@@ -127,7 +131,22 @@ def main(argv=None) -> int:
         pad = np.zeros((x.shape[0], n - (t % n) if t % n else n))
         tail = sp.process_buffer(pad, sample_rate=rate)
         y = np.concatenate([y, tail], axis=1)[:, :t]
-    _, subtype = _SUBTYPE_FOR_FORMAT[args.out_format]
+    out_fmt, subtype = _SUBTYPE_FOR_FORMAT[args.out_format]
+    if args.dither and not out_fmt.isfloat:
+        # run the real dither/error-feedback output stage; the quantized
+        # integers round-trip exactly through the float WAV write below
+        import jax.numpy as jnp
+
+        from bfir_tpu.ops import dither as dth
+        from bfir_tpu.ops import formats as fm
+
+        dst = dth.init_dither_state(y.shape[0], dtype=np.float64)
+        of = dth.init_overflow_stats(y.shape[0], dtype=np.float64)
+        q, of, dst = fm.output_stage(jnp.asarray(y), out_fmt, of, dst)
+        y = np.asarray(q, dtype=np.float64) / out_fmt.full_scale
+        if int(np.sum(np.asarray(of.n_overflows))) > 0:
+            print(f"warning: {int(np.sum(np.asarray(of.n_overflows)))} "
+                  "samples clipped during dither", file=sys.stderr)
     wavio.write(args.output, y.T, rate, subtype=subtype)
     of = sp.overflow_stats()
     if of is not None and int(np.sum(of.n_overflows)) > 0:

@@ -44,15 +44,17 @@ class ConfigStore:
         with self._lock:
             return self._config
 
-    def _swap(self, **top_level):
+    def _mutate(self, fn):
+        """Apply ``fn(config) -> new_config`` atomically: the read, the
+        modification, and the swap all happen under the lock so concurrent
+        mutators cannot lose each other's updates (the reference has exactly
+        this race on its cfg_* globals — SURVEY.md §5). The change callback
+        fires outside the lock."""
         with self._lock:
-            self._config = dataclasses.replace(self._config, **top_level)
+            self._config = fn(self._config)
             cfg = self._config
         if self._on_change:
             self._on_change(cfg)
-
-    def _swap_chain(self, **chain_fields):
-        self._swap(chain=dataclasses.replace(self.config.chain, **chain_fields))
 
     # -- EQ -----------------------------------------------------------------
 
@@ -63,25 +65,29 @@ class ConfigStore:
     def set_eq_mag(self, band: int, val: int) -> None:
         band = _clamp(band, 0, N_EQ_BANDS - 1)  # connection.cpp:86-87
         val = _clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX)
-        eq = self.config.chain.eq
-        mags = list(eq.mag_steps)
-        mags[band] = val
-        self._swap_chain(eq=dataclasses.replace(eq, mag_steps=tuple(mags)))
+
+        def fn(c):
+            mags = list(c.chain.eq.mag_steps)
+            mags[band] = val
+            eq = dataclasses.replace(c.chain.eq, mag_steps=tuple(mags))
+            return dataclasses.replace(c, chain=dataclasses.replace(c.chain, eq=eq))
+
+        self._mutate(fn)
 
     def get_eq_enable(self) -> int:
         return int(self.config.chain.eq.enabled)
 
     def set_eq_enable(self, val: int) -> None:
-        eq = self.config.chain.eq
-        self._swap_chain(eq=dataclasses.replace(eq, enabled=bool(_clamp(val, 0, 1))))
+        self._mutate(lambda c: dataclasses.replace(c, chain=dataclasses.replace(
+            c.chain, eq=dataclasses.replace(c.chain.eq, enabled=bool(_clamp(val, 0, 1))))))
 
     def get_eq_level(self) -> int:
         return self.config.chain.eq.level_steps
 
     def set_eq_level(self, val: int) -> None:
-        eq = self.config.chain.eq
-        self._swap_chain(eq=dataclasses.replace(
-            eq, level_steps=_clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX)))
+        v = _clamp(val, LEVEL_RANGE_MIN, LEVEL_RANGE_MAX)
+        self._mutate(lambda c: dataclasses.replace(c, chain=dataclasses.replace(
+            c.chain, eq=dataclasses.replace(c.chain.eq, level_steps=v))))
 
     # -- impulse file slots (1-based index like F1/F2/F3) --------------------
 
@@ -89,9 +95,13 @@ class ConfigStore:
         return self.config.chain.files[idx - 1]
 
     def _set_file(self, idx: int, **fields) -> None:
-        files = list(self.config.chain.files)
-        files[idx - 1] = dataclasses.replace(files[idx - 1], **fields)
-        self._swap_chain(files=tuple(files))
+        def fn(c):
+            files = list(c.chain.files)
+            files[idx - 1] = dataclasses.replace(files[idx - 1], **fields)
+            return dataclasses.replace(
+                c, chain=dataclasses.replace(c.chain, files=tuple(files)))
+
+        self._mutate(fn)
 
     def get_file_enable(self, idx: int) -> int:
         return int(self._file(idx).enabled)

@@ -226,6 +226,17 @@ def rolled_from_state(state: ConvolverState) -> ConvolverState:
     )
 
 
+def state_from_rolled(state: ConvolverState) -> ConvolverState:
+    """Inverse of ``rolled_from_state``: pointer ring[s] = rolled[(counter -
+    1 - s) mod P], so ``step``/``process_batch`` can continue a stream whose
+    state was produced by ``step_rolled``."""
+    p = state.spectra_ring.shape[0]
+    idx = jnp.mod(state.blockcounter - 1 - jnp.arange(p, dtype=jnp.int32), p)
+    return ConvolverState(
+        jnp.take(state.spectra_ring, idx, axis=0), state.prev_block, state.blockcounter
+    )
+
+
 def process_blocks(
     state: ConvolverState,
     coeff_spectra: jax.Array,

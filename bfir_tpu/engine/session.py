@@ -284,10 +284,6 @@ class StreamProcessor:
         block loop; far fewer host round-trips). The partial tail is held
         like ``process``."""
         with self._lock:
-            if self._pending_swap is not None or self._impl == "packed":
-                # crossfade queued or packed engine (scan path is
-                # complex-only): the block loop handles both
-                return self._process_locked(frames, sample_rate)
             return self._process_buffer_locked(frames, sample_rate)
 
     def _process_buffer_locked(self, frames, sample_rate=None) -> np.ndarray:
@@ -297,6 +293,11 @@ class StreamProcessor:
             self._initialize(frames.shape[0], rate)
         if not self._active or self._failed:
             return frames
+        # decided only after (re)initialization: the engine implementation
+        # is chosen there, and a queued crossfade needs the block loop
+        # (the scan path is complex-only)
+        if self._pending_swap is not None or self._impl == "packed":
+            return self._process_locked(frames, sample_rate)
 
         n = self.config.filter.block_length
         buf = np.concatenate([self._pending, frames.astype(self._pending.dtype)], axis=1)
@@ -331,6 +332,14 @@ class StreamProcessor:
         y = self.process(x, sample_rate)
         if ofmt.isfloat:
             return fm.encode_float(y, ofmt)
+        # passthrough (inactive chain / failed) still quantizes to the
+        # output format; runtime stats may not exist yet in that case
+        if self._overflow is None:
+            dt = np.float32 if self.config.filter.dtype == "float32" else np.float64
+            self._overflow = dth.init_overflow_stats(y.shape[0], dtype=dt)
+        if (self.config.stream.apply_dither and self._dither_state is None):
+            dt = np.float32 if self.config.filter.dtype == "float32" else np.float64
+            self._dither_state = dth.init_dither_state(y.shape[0], dtype=dt)
         scaled, self._overflow, self._dither_state = fm.output_stage(
             jax.numpy.asarray(y), ofmt, self._overflow, self._dither_state
         )

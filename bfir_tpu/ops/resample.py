@@ -85,7 +85,7 @@ def resample(
     if taps_per_phase is None:
         taps_per_phase = taps_per_phase_for(atten_db, rolloff)
     bank = _polyphase_filter(l, m, taps_per_phase, atten_db, rolloff)
-    bank_j = jnp.asarray(bank, dtype=x.dtype)  # [L, K]
+    bank_j = jnp.asarray(bank, dtype=x.dtype)  # [L, K], one transfer, reused below
     k = bank.shape[1]
 
     t = x.shape[-1]
@@ -112,7 +112,7 @@ def resample(
     # coefficients per output sample: y[j] = sum_i h[i*L + phase_j] x[n0 - i],
     # and bank[p, i] = h[i*L + p], so bank[phase_j] pairs with the gathered
     # window as-is
-    coefs = jnp.asarray(bank, dtype=x.dtype)[jnp.asarray(phase)]  # [J, K]
+    coefs = bank_j[jnp.asarray(phase)]  # [J, K]
     return jnp.sum(win * coefs, axis=-1)
 
 

@@ -81,16 +81,22 @@ class ShardedEngine:
         parallelizes the compute — the pod-scale layout of BASELINE
         config #5 (channels across hosts, partitions within).
 
-        Note: ``process_batch`` uses the pointer-indexed ring, so the state
-        must be in pointer representation (``init_state_ptr``); the rolled
-        ``step`` state is not interchangeable mid-stream.
+        State representation: this engine's ``step`` keeps the ring in
+        *rolled* layout while ``cv.process_batch`` uses the pointer layout;
+        the jitted wrapper converts on entry and back on exit, so ``step``
+        and ``process_batch`` interoperate freely on the same state.
         """
         if self._batch is None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            def batch_fn(state, coeffs, blocks):
+                st_ptr = cv.state_from_rolled(state)
+                st_ptr, outs = cv.process_batch(st_ptr, coeffs, blocks)
+                return cv.rolled_from_state(st_ptr), outs
+
             blocks_sh = NamedSharding(self.mesh, P(None, "c", None))
             self._batch = jax.jit(
-                cv.process_batch,
+                batch_fn,
                 in_shardings=(self._state_shardings, self._coeff_sharding, blocks_sh),
                 out_shardings=(self._state_shardings, blocks_sh),
                 donate_argnums=0,

@@ -279,3 +279,35 @@ def test_engine_mode_validation():
 
     with _pytest.raises(ValueError):
         EngineConfig(engine_mode="nope")
+
+
+def test_process_buffer_first_call_on_packed_engine(cache, tmp_path):
+    # review regression: process_buffer as the FIRST call on a packed-mode
+    # engine decided its fallback on the stale pre-init _impl and crashed
+    import dataclasses
+
+    rng = np.random.default_rng(13)
+    h = rng.standard_normal((2, 100)) * 0.05
+    p = save_impulse(tmp_path, "pk.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="packed")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 512))
+    y = sp.process_buffer(x)  # must not crash
+    assert sp._impl == "packed"
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[:512] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+
+
+def test_process_raw_passthrough_int_format(tmp_path):
+    # review regression: inactive chain + integer out_format crashed on
+    # uninitialized overflow/dither state
+    from bfir_tpu.ops import formats as fm
+
+    cfg = make_config(tmp_path, out_format=SampleFormat.S16_LE, dither=True)
+    sp = StreamProcessor(cfg, ArtifactCache(str(tmp_path / "pc")))
+    x = (np.random.default_rng(14).uniform(-0.4, 0.4, (2, 256))).astype(np.float64)
+    raw_in = fm.encode_float(x, SampleFormat.FLOAT_LE)
+    raw_out = sp.process_raw(raw_in)  # passthrough, quantized
+    y = fm.decode(raw_out, SampleFormat.S16_LE, 2)
+    np.testing.assert_allclose(y, x, atol=5 / 32768.0)

@@ -138,3 +138,34 @@ def test_ppermute_step_matches_rolled(devices):
     np.testing.assert_allclose(
         np.asarray(jnp.real(state.spectra_ring)),
         np.asarray(jnp.real(st_ref.spectra_ring)), atol=1e-10)
+
+
+def test_sharded_step_and_batch_interoperate(devices):
+    # review regression: step (rolled ring) and process_batch (pointer ring)
+    # on the same state produced silently wrong audio when mixed
+    rng = np.random.default_rng(15)
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=4, dtype="float64")
+    c = 4
+    eng = ShardedEngine(spec, c, mesh)
+    h = rng.standard_normal((c, spec.max_taps)) * 0.1
+    coeffs = eng.prepare_coeffs(h)
+    state = eng.init_state()
+
+    st_ref = cv.init_state(spec, c)
+    co_ref = cv.coeffs_to_spectra(h, spec)
+
+    # 3 streaming steps (leaves counter % P != 0), then a batch, then a step
+    for b in range(3):
+        blk = rng.standard_normal((c, 64))
+        state, out = eng.step(state, coeffs, jnp.asarray(blk))
+        st_ref, ref = cv.step(st_ref, co_ref, blk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    blocks = rng.standard_normal((5, c, 64))
+    state, outs = eng.process_batch(state, coeffs, jnp.asarray(blocks))
+    st_ref, refs = cv.process_batch(st_ref, co_ref, jnp.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(refs), atol=1e-10)
+    blk = rng.standard_normal((c, 64))
+    state, out = eng.step(state, coeffs, jnp.asarray(blk))
+    st_ref, ref = cv.step(st_ref, co_ref, blk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
