@@ -311,3 +311,37 @@ def test_process_raw_passthrough_int_format(tmp_path):
     raw_out = sp.process_raw(raw_in)  # passthrough, quantized
     y = fm.decode(raw_out, SampleFormat.S16_LE, 2)
     np.testing.assert_allclose(y, x, atol=5 / 32768.0)
+
+
+def test_composition_equals_blockwise_streaming_method():
+    # SURVEY.md §3.5: the reference composes impulse chains by streaming one
+    # impulse through a brutefir instance whose coefficients are the other
+    # (preprocessor.cpp:104-194). Our chain.py uses one direct spectral
+    # multiply. Emulate the reference's block-streamed method with our own
+    # engine and verify both agree on the kept (truncated) region.
+    from bfir_tpu.core import convolver as cv
+    from bfir_tpu.core.spec import FilterSpec
+
+    rng = np.random.default_rng(20)
+    n = 64
+    a = rng.standard_normal(200) * 0.3   # running coeff set
+    b = rng.standard_normal(150) * 0.3   # impulse streamed through
+    length = 256  # next multiple of n covering max(200,150)
+    blocks = length // n
+
+    # reference method: stream b (padded to length) through a filter whose
+    # coeffs are a (padded), collecting `blocks` output blocks
+    spec = FilterSpec(block_length=n, n_partitions=blocks, dtype="float64")
+    st = cv.init_state(spec, 1)
+    co = cv.coeffs_to_spectra(a, spec)
+    b_pad = np.zeros(length)
+    b_pad[: b.size] = b
+    outs = []
+    for k in range(blocks):
+        st, o = cv.step(st, co, b_pad[None, k * n : (k + 1) * n])
+        outs.append(np.asarray(o)[0])
+    streamed = np.concatenate(outs)
+
+    direct = np.asarray(
+        cv.direct_convolve_spectra(a, b, max_taps=length, dtype=np.float64))
+    np.testing.assert_allclose(streamed, direct[:length], atol=1e-10)
