@@ -183,7 +183,7 @@ def mac_pallas_chunked(ring2_pk, coeff_rk, pos, k: int = 4, interpret: bool = Fa
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ring2 stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # ring2 stays in HBM
             pl.BlockSpec((k, c2, fp), lambda i, pos_ref: (i, 0, 0)),
         ],
         out_specs=[

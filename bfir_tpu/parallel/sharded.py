@@ -127,7 +127,7 @@ def make_ppermute_step(mesh: Mesh, spec: FilterSpec, n_channels: int):
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from bfir_tpu.ops import fft as F
