@@ -94,30 +94,47 @@ def bench_streaming(spec, h, jnp, jax, n_iters):
     return sps, p50, s
 
 
-def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
+def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=4):
+    """Bulk-mode throughput: ``scan_batches`` x ``process_batch`` per
+    dispatch (lax.scan), amortizing this image's ~30 ms tunnel round-trip
+    over NB*B blocks; inputs are device-born (host->device here is ~5 MB/s).
+    B=240 with P=128 shares one 512-point block-axis FFT among ~2x the
+    blocks of B=128 (batch_fft_len is 512 for both) — measured ~1.8x faster
+    per block. B=256 is OFF-LIMITS: the axon backend deterministically
+    miscompiles that batch graph (SNR 4 dB, bit-identical across runs; the
+    scipy check below catches it — see process_batch's docstring)."""
     from bfir_tpu.core import convolver as cv
 
     co = cv.coeffs_to_spectra(h, spec)
     hs = cv.prepare_batch_coeffs(co, batch_blocks)
-    f = jax.jit(
-        lambda st, co_, hs_, blk: cv.process_batch(st, co_, blk, coeff_batch_fft=hs_),
-        donate_argnums=0,
-    )
-    rng = np.random.default_rng(2)
-    state = cv.init_state(spec, CHANNELS)
-    blocks = jnp.asarray(
-        rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32))
-    t0 = time.time()
-    state, outs = f(state, co, hs, blocks)
-    float(jnp.sum(outs))
-    log(f"batch B={batch_blocks} compile: {time.time()-t0:.1f}s")
 
-    # correctness vs scipy on a fresh state
+    def steps(st, co_, hs_, many):  # many: [NB, B, C, N]
+        def body(s, blk):
+            return cv.process_batch(s, co_, blk, coeff_batch_fft=hs_)
+        return jax.lax.scan(body, st, many)  # outputs materialize [NB,B,C,N]
+
+    f = jax.jit(steps, donate_argnums=0)
+    state = cv.init_state(spec, CHANNELS)
+    key = jax.random.PRNGKey(2)
+    make_pool = jax.jit(lambda k: jax.random.normal(
+        k, (scan_batches, batch_blocks, CHANNELS, BLOCK), dtype=jnp.float32))
+    pool = [make_pool(k) for k in jax.random.split(key, 2)]
+    jax.block_until_ready(pool)
+    t0 = time.time()
+    state, outs = f(state, co, hs, pool[0])
+    float(jnp.sum(outs))
+    log(f"batch B={batch_blocks} x NB={scan_batches} compile: {time.time()-t0:.1f}s")
+
+    # correctness vs scipy on a fresh state (the same process_batch the
+    # scan dispatches, via the jitted single-call path)
     from scipy import signal
 
+    rng = np.random.default_rng(2)
+    g = jax.jit(lambda st, co_, hs_, blk: cv.process_batch(st, co_, blk,
+                                                           coeff_batch_fft=hs_))
     st2 = cv.init_state(spec, CHANNELS)
-    xs = rng.standard_normal((4, CHANNELS, BLOCK)).astype(np.float32)
-    _, o = f(st2, co, hs, jnp.asarray(xs))
+    xs = rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32)
+    _, o = g(st2, co, hs, jnp.asarray(xs))
     y = np.asarray(o).transpose(1, 0, 2).reshape(CHANNELS, -1)
     flat = xs.transpose(1, 0, 2).reshape(CHANNELS, -1)
     ref = signal.fftconvolve(flat[0].astype(np.float64), h[0].astype(np.float64))[: y.shape[1]]
@@ -126,16 +143,13 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=128):
     if s < 80:
         return 0.0, s
 
-    pool = [jnp.asarray(
-        rng.standard_normal((batch_blocks, CHANNELS, BLOCK)).astype(np.float32))
-        for _ in range(2)]
-    jax.block_until_ready(pool)
+    nblocks = scan_batches * batch_blocks
     times = []
     for i in range(n_iters):
         t0 = time.time()
         state, outs = f(state, co, hs, pool[i % 2])
-        float(jnp.sum(outs))
-        times.append((time.time() - t0) / batch_blocks)
+        float(jnp.sum(outs))  # force completion via scalar fetch
+        times.append((time.time() - t0) / nblocks)
     per_block = float(np.median(times))
     sps = BLOCK * CHANNELS / per_block
     log(f"batch: {per_block*1e3:.3f} ms/block -> {sps/1e6:.0f} M samples/s")
@@ -176,8 +190,9 @@ def _run_path(which: str):
     h = (rng.standard_normal((CHANNELS, spec.max_taps)) *
          np.exp(-np.arange(spec.max_taps) / 20000.0)).astype(np.float32) * 0.05
     if which == "batch":
-        sps, s = bench_batch(spec, h, jnp, jax, n_iters=2 if on_cpu else 10,
-                             batch_blocks=16 if on_cpu else 128)
+        sps, s = bench_batch(spec, h, jnp, jax, n_iters=2 if on_cpu else 8,
+                             batch_blocks=16 if on_cpu else 240,
+                             scan_batches=2 if on_cpu else 4)
         print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
     else:
         sps, p50, s = bench_streaming(spec, h, jnp, jax,

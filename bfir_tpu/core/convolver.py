@@ -258,13 +258,31 @@ def batch_fft_len(b: int, p: int) -> int:
     return int(2 ** np.ceil(np.log2(max(b + 2 * (p - 1), 2))))
 
 
-def prepare_batch_coeffs(coeff_spectra: jax.Array, b: int) -> jax.Array:
+def prepare_batch_coeffs(coeff_spectra: jax.Array, b: int):
     """Precompute the block-axis FFT of the coefficient spectra for
     ``process_batch`` with batch size ``b`` — static per filter, so hoisting
     it out of the per-batch call saves one of the three block-axis
-    transforms (~1/3 of batch-mode time)."""
+    transforms (~1/3 of batch-mode time).
+
+    Returns split re/im planes [L, C, F] (a host-transfer-safe pair — this
+    backend cannot move complex arrays across the host boundary; they are
+    re-packed to complex inside process_batch)."""
     p = coeff_spectra.shape[0]
-    return F.fft(coeff_spectra, n=batch_fft_len(b, p), axis=0)
+    l = batch_fft_len(b, p)
+    hs = F.fft(coeff_spectra, n=l, axis=0)
+    return jnp.real(hs), jnp.imag(hs)
+
+
+def _batch_coeff_len(coeff_batch_fft) -> int:
+    if isinstance(coeff_batch_fft, tuple):
+        return coeff_batch_fft[0].shape[0]
+    return coeff_batch_fft.shape[0]
+
+
+def _batch_coeff_complex(coeff_batch_fft):
+    if isinstance(coeff_batch_fft, tuple):
+        return jax.lax.complex(*coeff_batch_fft)
+    return coeff_batch_fft  # legacy complex [L, C, F]
 
 
 def process_batch(
@@ -284,6 +302,17 @@ def process_batch(
 
     Pass ``coeff_batch_fft = prepare_batch_coeffs(coeff_spectra, B)`` to
     skip recomputing the static coefficient transform per call.
+
+    Formulation note: this deliberately uses full complex transforms plus
+    output slices rather than the sliced/tail-fused variants in ``ops.fft``
+    (ifft0_slice / irfft_tail / fft0_split): on this image's axon TPU
+    backend several of those fused graphs MISCOMPILE deterministically at
+    large shapes (first seen: B=256, C=64 — irfft stage wrong by O(1) with
+    bit-identical wrong outputs across runs; later whole-graph variants
+    wrong even at B=128 while the same math is exact on CPU). The full-
+    transform formulation below is the one verified against scipy on the
+    TPU across B<=240 at bench scale. Keep batches at B<=240 for P=128
+    (bench uses 240); the per-run scipy SNR check in bench.py is the guard.
     """
     p, _, f = coeff_spectra.shape
     b, c, n = blocks.shape
@@ -307,15 +336,15 @@ def process_batch(
     # avoid circular wrap of the history tail).
     l = batch_fft_len(b, p)
     xs = F.fft(xpad, n=l, axis=0)
-    if coeff_batch_fft is not None and coeff_batch_fft.shape[0] == l:
-        hs = coeff_batch_fft
+    if coeff_batch_fft is not None and _batch_coeff_len(coeff_batch_fft) == l:
+        hs = _batch_coeff_complex(coeff_batch_fft)
     else:
         hs = F.fft(coeff_spectra, n=l, axis=0)
     y_all = F.ifft(xs * hs, axis=0)  # [L, C, F]
     # output block b corresponds to xpad index (P-1)+b
     y = y_all[p - 1 : p - 1 + b]
 
-    out = F.irfft(y, axis=-1)[..., n:]  # [B, C, N]
+    out = F.irfft(y, axis=-1)[..., n:]  # [B, C, N] valid upper half
 
     # New ring state: the last P spectra among xpad, placed at their slots.
     counters = state.blockcounter + jnp.arange(b, dtype=jnp.int32)

@@ -173,19 +173,33 @@ def _cmatmul(ar, ai, br, bi):
     return rr, ri
 
 
-def _cfft_fourstep(yr, yi, m: int, inverse: bool):
-    """Four-step FFT over the last axis on split re/im arrays [..., M]."""
+def _cfft_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
+    """Four-step FFT over the last axis on split re/im arrays [..., M].
+
+    ``k2_range=(lo, hi)`` restricts stage 2 to output-index chunks
+    k = k2*n1 + k1 with k2 in [lo, hi) — the caller gets columns
+    [lo*n1, hi*n1) only, with stage-2 FLOPs and writes cut pro rata
+    (see ``ifft0_slice``)."""
     rdt = yr.dtype.name
     n1 = _split_factor(m)
     n2 = m // n1
     batch = yr.shape[:-1]
+    # Flatten the batch to one axis: >=3D batched matmuls with a partial
+    # stage-2 weight (k2_range) miscompile on the axon TPU backend above a
+    # size threshold (observed: [256,64,32,32]@[32,16] wrong by O(1),
+    # [16384,32,32]@[32,16] exact). The flatten is free for row-major data.
+    flat = len(batch) > 1
+    if flat:
+        yr = yr.reshape(-1, m)
+        yi = yi.reshape(-1, m)
+    fb = yr.shape[:-1]  # flattened batch
     # step 1: view as [.., n2, n1] (column-major split: index = k2*n1 + k1
     # -> x[k1 stride n2?]). Standard decimation: x[j], j = j1*n2 + j2;
     # X[k2*n1 + k1] = sum_{j1,j2} x[j1*n2+j2] W_m^{(j1*n2+j2)(k1... } —
     # implement as: A[j2, j1] = x[j1*n2 + j2]; B = DFT_n1 over j1;
     # B *= twiddle(j2, k1); C = DFT_n2 over j2; X[k1*n2 + k2] = C[k2, k1].
-    yr = yr.reshape(*batch, n1, n2)
-    yi = yi.reshape(*batch, n1, n2)
+    yr = yr.reshape(*fb, n1, n2)
+    yi = yi.reshape(*fb, n1, n2)
     # DFT over j1 (axis -2): move to last axis for matmul
     yr_t = jnp.swapaxes(yr, -1, -2)  # [.., n2, n1]
     yi_t = jnp.swapaxes(yi, -1, -2)
@@ -206,13 +220,242 @@ def _cfft_fourstep(yr, yi, m: int, inverse: bool):
     ti = jnp.swapaxes(ti, -1, -2)
     cr2, ci2 = _cdft_weights(n2, rdt, inverse)
     s2 = n2 / m if inverse else 1  # total inverse scale = 1/m
+    if k2_range is not None:  # emit only output columns with k2 in [lo, hi)
+        lo, hi = k2_range
+        cr2 = cr2[:, lo:hi]
+        ci2 = ci2[:, lo:hi]
     br2 = jnp.asarray(cr2 * s2)
     bi2 = jnp.asarray(ci2 * s2)
     orr, oi = _cmatmul(tr, ti, br2, bi2)  # [.., n1, n2] indexed [k1, k2]
     # output index is k2*n1 + k1 -> transpose before flattening
-    orr = jnp.swapaxes(orr, -1, -2).reshape(*batch, m)
-    oi = jnp.swapaxes(oi, -1, -2).reshape(*batch, m)
-    return orr, oi
+    mo = orr.shape[-1] * n1
+    orr = jnp.swapaxes(orr, -1, -2).reshape(*batch, mo)
+    oi = jnp.swapaxes(oi, -1, -2).reshape(*batch, mo)
+    return orr, oi  # reshape(*batch, mo) restores the original batch dims
+
+
+def _pad_first(x, n: int):
+    if x.shape[0] == n:
+        return x
+    if x.shape[0] > n:
+        return x[:n]
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _lmatmul(w, x):
+    """w [K, J] contracted with x [.., J, R..] over x's axis -2? No —
+    leading-axis contraction: x [J, R], out [K, R]."""
+    return jnp.matmul(w, x, precision=_MATMUL_PRECISION)
+
+
+def _clmatmul(wr, wi, xr, xi):
+    """Complex left-matmul on split planes: (wr + i wi) @ (xr + i xi)."""
+    rr = _lmatmul(wr, xr) - _lmatmul(wi, xi)
+    ri = _lmatmul(wr, xi) + _lmatmul(wi, xr)
+    return rr, ri
+
+
+def _cfft0_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
+    """Four-step FFT over the LEADING axis on split re/im arrays [M, ...].
+
+    The transform along axis 0 is a left-matmul (X = W @ x), so — unlike the
+    last-axis path, which needs moveaxis round-trips for big batch tensors —
+    this factorization is completely transpose-free: with input index
+    j = j1*n2 + j2 and output index k = k2*n1 + k1, stage 1 is a left matmul
+    over j1, the twiddle is a broadcast multiply, and stage 2's dot_general
+    contraction over j2 lands the result directly in (k2, k1, rest) order,
+    which flattens to the natural output index. This is the hot transform of
+    ``core.convolver.process_batch`` (block-axis convolution theorem).
+    """
+    rdt = yr.dtype.name
+    n1 = _split_factor(m)
+    n2 = m // n1
+    rest = yr.shape[1:]
+    r = int(np.prod(rest)) if rest else 1
+    x3r = yr.reshape(n1, n2 * r)
+    x3i = yi.reshape(n1, n2 * r)
+    # stage 1: DFT_{n1} over j1 (W1[k1, j1] — matrices are symmetric, but
+    # index for clarity); inverse scale folded into stage 2
+    cr1, ci1 = _cdft_weights(n1, rdt, inverse)
+    s1 = n1 if inverse else 1  # _cdft_weights folds 1/n1 into inverse tables
+    ar, ai = _clmatmul(jnp.asarray(cr1 * s1), jnp.asarray(ci1 * s1), x3r, x3i)
+    ar = ar.reshape(n1, n2, r)  # [k1, j2, R]
+    ai = ai.reshape(n1, n2, r)
+    # twiddle W_m^{±k1*j2} — same table as the last-axis path
+    twr, twi = _twiddle(m, n1, rdt, inverse)
+    twr = jnp.asarray(twr)[:, :, None]  # [n1(k1), n2(j2), 1]
+    twi = jnp.asarray(twi)[:, :, None]
+    tr = ar * twr - ai * twi
+    ti = ar * twi + ai * twr
+    # stage 2: X[k2*n1 + k1] = sum_j2 W2[k2, j2] T[k1, j2, R] — contract
+    # T's middle axis; output comes out as [k2, k1, R], flattening straight
+    # to the four-step output index. (dot_general: lhs free k2, rhs free k1,R)
+    cr2, ci2 = _cdft_weights(n2, rdt, inverse)
+    s2 = n2 / m if inverse else 1  # total inverse scale = 1/m
+    if k2_range is not None:  # emit only output rows k2 in [lo, hi)
+        lo, hi = k2_range
+        cr2 = cr2[lo:hi]
+        ci2 = ci2[lo:hi]
+    w2r = jnp.asarray(cr2 * s2)
+    w2i = jnp.asarray(ci2 * s2)
+    dn = (((1,), (1,)), ((), ()))
+
+    def dg(w, t):
+        return jax.lax.dot_general(w, t, dn, precision=_MATMUL_PRECISION)
+
+    orr = dg(w2r, tr) - dg(w2i, ti)  # [n2(k2), n1(k1), R]
+    oi = dg(w2r, ti) + dg(w2i, tr)
+    mo = orr.shape[0] * n1
+    return orr.reshape((mo,) + rest), oi.reshape((mo,) + rest)
+
+
+def _cfft0(y: jax.Array, n: Optional[int], inverse: bool) -> jax.Array:
+    """FFT over the leading axis via left-matmuls (see _cfft0_fourstep).
+
+    Measured SLOWER than the moveaxis + last-axis path on the target TPU
+    (v5e: 53 ms vs 37 ms on the [255->512, 64, 1025] bench transform): the
+    small DFT factors make K=M=16..32 left-matmuls that underutilize the
+    128x128 MXU, while the batched right-matmul form tiles better. Kept as
+    a tested alternative (``fft0``/``ifft0``) for future shapes; the public
+    ``fft``/``ifft`` route axis-0 transforms through moveaxis instead."""
+    m = n or y.shape[0]
+    y = _pad_first(y, m)
+    rdt = "float32" if y.dtype == jnp.complex64 else "float64"
+    yr, yi = jnp.real(y), jnp.imag(y)
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        orr, oi = _cfft0_fourstep(yr, yi, m, inverse)
+        return jax.lax.complex(orr, oi)
+    cr, ci = _cdft_weights(m, rdt, inverse)
+    rest = y.shape[1:]
+    r = int(np.prod(rest)) if rest else 1
+    orr, oi = _clmatmul(jnp.asarray(cr), jnp.asarray(ci),
+                        yr.reshape(m, r), yi.reshape(m, r))
+    return jax.lax.complex(orr.reshape((m,) + rest), oi.reshape((m,) + rest))
+
+
+def fft0(y, n=None):
+    """Leading-axis FFT via left-matmuls (alternative path; see _cfft0)."""
+    return _cfft0(jnp.asarray(y, dtype=jnp.result_type(y, 1j)), n, inverse=False)
+
+
+def ifft0(y, n=None):
+    """Leading-axis inverse FFT via left-matmuls (alternative path)."""
+    return _cfft0(jnp.asarray(y, dtype=jnp.result_type(y, 1j)), n, inverse=True)
+
+
+def cfft_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None,
+               inverse: bool = False, cols=None):
+    """Complex FFT over the LAST axis on split re/im planes -> (re, im).
+
+    This is the TPU-native spelling of ``fft``/``ifft``: no complex dtype
+    anywhere (the axon backend miscompiles some complex-fed graphs at scale
+    — see process_batch — and Pallas TPU has no complex type at all).
+
+    ``cols=(start, count)`` returns only output columns
+    [start, start+count): the selection folds into the final DFT-stage
+    matmul (weight-column slice on the dense path, k2-chunk restriction on
+    the four-step path), cutting its FLOPs and writes pro rata.
+    """
+    m = n or yr.shape[-1]
+    yr = _pad_last(yr, m)
+    yi = _pad_last(yi, m)
+    if cols is not None:
+        start, count = cols
+        if start < 0 or count < 1 or start + count > m:
+            raise ValueError(f"cols [{start}, {start + count}) out of range for {m}")
+    if not _use_matmul():
+        fn = jnp.fft.ifft if inverse else jnp.fft.fft
+        z = fn(jax.lax.complex(yr, yi), n=m, axis=-1)
+        if cols is not None:
+            z = z[..., cols[0] : cols[0] + cols[1]]
+        return jnp.real(z), jnp.imag(z)
+    rdt = yr.dtype.name
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        if cols is None:
+            return _cfft_fourstep(yr, yi, m, inverse)
+        start, count = cols
+        n1 = _split_factor(m)
+        k2_lo = start // n1
+        k2_hi = -(-(start + count) // n1)
+        orr, oi = _cfft_fourstep(yr, yi, m, inverse, k2_range=(k2_lo, k2_hi))
+        off = start - k2_lo * n1
+        return orr[..., off : off + count], oi[..., off : off + count]
+    cr, ci = _cdft_weights(m, rdt, inverse)
+    if cols is not None:
+        start, count = cols
+        cr = cr[:, start : start + count]
+        ci = ci[:, start : start + count]
+    return _cmatmul(yr, yi, jnp.asarray(cr), jnp.asarray(ci))
+
+
+def fft0_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None,
+               inverse: bool = False, rows=None):
+    """Complex FFT over the LEADING axis on split re/im planes.
+
+    ``rows=(start, count)`` returns only output rows [start, start+count)
+    (folded into the final DFT stage on the matmul path — see cfft_split).
+    The matmul path transposes to the last axis internally (XLA cancels the
+    adjacent transpose pairs across the elementwise stages between two
+    transforms); the XLA-FFT path works on the natural layout directly,
+    which the CPU FFT thunk requires (dim0-major operand RET_CHECK).
+    """
+    m = n or yr.shape[0]
+    yr = _pad_first(yr, m)
+    yi = _pad_first(yi, m)
+    if not _use_matmul():
+        fn = jnp.fft.ifft if inverse else jnp.fft.fft
+        z = fn(jax.lax.complex(yr, yi), n=m, axis=0)
+        if rows is not None:
+            z = z[rows[0] : rows[0] + rows[1]]
+        return jnp.real(z), jnp.imag(z)
+    orr, oi = cfft_split(jnp.moveaxis(yr, 0, -1), jnp.moveaxis(yi, 0, -1),
+                         n=m, inverse=inverse, cols=rows)
+    return jnp.moveaxis(orr, -1, 0), jnp.moveaxis(oi, -1, 0)
+
+
+def ifft0_slice(y: jax.Array, start: int, count: int) -> jax.Array:
+    """``ifft(y, axis=0)[start : start + count]`` without materializing the
+    full inverse transform.
+
+    ``core.convolver.process_batch`` needs only B of the L = B + 2(P-1)
+    block-axis inverse-FFT rows (the linear-convolution output region); on
+    the matmul-DFT path the row selection folds into the final DFT-stage
+    matmul, cutting its FLOPs and its HBM writes by ~L/B.
+    """
+    m = y.shape[0]
+    if start < 0 or count < 1 or start + count > m:
+        raise ValueError(f"rows [{start}, {start + count}) out of range for {m}")
+    if not _use_matmul():
+        return jnp.fft.ifft(y, axis=0)[start : start + count]
+    rdt = "float32" if y.dtype == jnp.complex64 else "float64"
+    yt = jnp.moveaxis(y, 0, -1)  # batched right-matmul form (see _cfft0)
+    yr, yi = jnp.real(yt), jnp.imag(yt)
+    if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+        n1 = _split_factor(m)
+        # output index k = k2*n1 + k1: restrict stage 2 to the k2 chunks
+        # covering [start, start+count), then slice the remainder
+        k2_lo = start // n1
+        k2_hi = -(-(start + count) // n1)
+        orr, oi = _cfft_fourstep(yr, yi, m, inverse=True, k2_range=(k2_lo, k2_hi))
+        off = start - k2_lo * n1
+        out = jax.lax.complex(orr, oi)[..., off : off + count]
+    else:
+        cr, ci = _cdft_weights(m, rdt, inverse=True)
+        out_r = (
+            jnp.matmul(yr, jnp.asarray(cr[:, start : start + count]),
+                       precision=_MATMUL_PRECISION)
+            - jnp.matmul(yi, jnp.asarray(ci[:, start : start + count]),
+                         precision=_MATMUL_PRECISION)
+        )
+        out_i = (
+            jnp.matmul(yr, jnp.asarray(ci[:, start : start + count]),
+                       precision=_MATMUL_PRECISION)
+            + jnp.matmul(yi, jnp.asarray(cr[:, start : start + count]),
+                         precision=_MATMUL_PRECISION)
+        )
+        out = jax.lax.complex(out_r, out_i)
+    return jnp.moveaxis(out, -1, 0)
 
 
 def _cfft(y: jax.Array, n: Optional[int], axis: int, inverse: bool) -> jax.Array:
@@ -355,6 +598,57 @@ def irfft_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None) -> jax.Ar
             + jnp.matmul(yi, jnp.asarray(wi), precision=_MATMUL_PRECISION)
         )
     return jnp.fft.irfft(jax.lax.complex(yr, yi), n=m, axis=-1)
+
+
+def irfft_split_tail(yr: jax.Array, yi: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """``irfft_split(yr, yi, n)[..., n//2:]`` — only the upper half.
+
+    The overlap-save engine discards the lower half of every inverse
+    transform (the circular-aliased region; reference keeps the upper half,
+    fftw_convolver.cpp:405-466 via the cbuf layout). Folding the selection
+    into the inverse halves the final DFT stage's FLOPs and writes: on the
+    real-packing path output sample 2i(+1) is Re/Im Z[i], so the tail is
+    exactly inverse-FFT rows i >= h/2 — a k2-chunk restriction of the
+    four-step's last matmul.
+    """
+    m = n or 2 * (yr.shape[-1] - 1)
+    f = m // 2 + 1
+    yr = _pad_last(yr, f)
+    yi = _pad_last(yi, f)
+    if _use_matmul():
+        if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
+            h = m // 2
+            xr_k = yr[..., :h]
+            xi_k = yi[..., :h]
+            xr_rev = yr[..., h:0:-1]
+            xi_rev = yi[..., h:0:-1]
+            ar = 0.5 * (xr_k + xr_rev)
+            ai = 0.5 * (xi_k - xi_rev)
+            dr = 0.5 * (xr_k - xr_rev)
+            di = 0.5 * (xi_k + xi_rev)
+            twr, twi = _half_twiddle(m, yr.dtype.name)
+            twr = jnp.asarray(twr)
+            twi = -jnp.asarray(twi)
+            er = twr * dr - twi * di
+            ei = twr * di + twi * dr
+            zr = ar - ei
+            zi = ai + er
+            n1 = _split_factor(h)
+            lo = (h // 2) // n1  # h/2 is a multiple of n1 for pow2 sizes
+            zr, zi = _cfft_fourstep(zr, zi, h, inverse=True,
+                                    k2_range=(lo, h // n1))
+            return jnp.stack([zr, zi], axis=-1).reshape(*zr.shape[:-1], h)
+        wr, wi = _irdft_weights(m, yr.dtype.name)
+        return (
+            jnp.matmul(yr, jnp.asarray(wr[:, m // 2 :]), precision=_MATMUL_PRECISION)
+            + jnp.matmul(yi, jnp.asarray(wi[:, m // 2 :]), precision=_MATMUL_PRECISION)
+        )
+    return jnp.fft.irfft(jax.lax.complex(yr, yi), n=m, axis=-1)[..., m // 2 :]
+
+
+def irfft_tail(y: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """``irfft(y, n, axis=-1)[..., n//2:]`` (see irfft_split_tail)."""
+    return irfft_split_tail(jnp.real(y), jnp.imag(y), n=n)
 
 
 # ---------------------------------------------------------------------------

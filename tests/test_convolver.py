@@ -143,3 +143,33 @@ def test_direct_convolve_spectra():
     y = np.asarray(cv.direct_convolve_spectra(a, b))
     ref = np.convolve(a, b)
     np.testing.assert_allclose(y, ref, atol=1e-10)
+
+
+def test_batch_with_prepared_coeffs_matches_scan():
+    import jax.numpy as jnp
+    # the bench path: prepare_batch_coeffs (split re/im planes, host-transfer
+    # safe) passed into process_batch, on both the matmul and XLA FFT modes
+    from bfir_tpu.ops import fft as F
+
+    rng = np.random.default_rng(5)
+    spec = FilterSpec(block_length=64, n_partitions=8, dtype="float32")
+    c, b = 2, 12
+    h = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    blocks = jnp.asarray(rng.standard_normal((b, c, 64)).astype(np.float32))
+    for mode in ("auto", "matmul"):
+        F.set_mode(mode)
+        try:
+            coeffs = cv.coeffs_to_spectra(h, spec)
+            hs = cv.prepare_batch_coeffs(coeffs, b)
+            assert isinstance(hs, tuple) and hs[0].shape[0] == cv.batch_fft_len(b, 8)
+            st1, out1 = cv.process_batch(cv.init_state(spec, c), coeffs, blocks,
+                                         coeff_batch_fft=hs)
+            st2, out2 = cv.process_blocks(cv.init_state(spec, c), coeffs, blocks)
+        finally:
+            F.set_mode("auto")
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=2e-4)
+        # ring states agree too (resumability of the bulk path)
+        np.testing.assert_allclose(np.asarray(jnp.real(st1.spectra_ring)),
+                                   np.asarray(jnp.real(st2.spectra_ring)),
+                                   atol=2e-4)

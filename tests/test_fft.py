@@ -55,6 +55,49 @@ def test_cfft_axis0_matches_numpy():
     np.testing.assert_allclose(got_i, ref_i, atol=1e-10)
 
 
+@pytest.mark.parametrize("m,n", [(512, None), (1024, None), (255, 512), (700, 128)])
+@pytest.mark.parametrize("dtype,tol", [(np.complex128, 1e-11), (np.complex64, 5e-6)])
+def test_cfft_axis0_fourstep_matches_numpy(m, n, dtype, tol):
+    # leading-axis transforms (process_batch's hot path) on both the default
+    # moveaxis route (F.fft axis=0) and the left-matmul alternative (F.fft0),
+    # incl. pad/truncate along axis 0
+    rng = np.random.default_rng(7)
+    y = (rng.standard_normal((m, 3, 17)) + 1j * rng.standard_normal((m, 3, 17))).astype(dtype)
+    yj = F.from_numpy_complex(y)
+    for inverse in (False, True):
+        rfn = np.fft.ifft if inverse else np.fft.fft
+        ref = rfn(y, n=n, axis=0)
+        scale = max(np.abs(ref).max(), 1e-30)
+        fn = F.ifft if inverse else F.fft
+        assert np.abs(F.to_numpy(fn(yj, n=n, axis=0)) - ref).max() / scale < tol
+        fn0 = F.ifft0 if inverse else F.fft0
+        assert np.abs(F.to_numpy(fn0(yj, n=n)) - ref).max() / scale < tol
+
+
+@pytest.mark.parametrize("m,start,count", [(512, 127, 128), (512, 0, 512),
+                                           (512, 500, 12), (100, 7, 50)])
+def test_ifft0_slice_matches_numpy(m, start, count):
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal((m, 5, 9)) + 1j * rng.standard_normal((m, 5, 9))
+    got = F.to_numpy(F.ifft0_slice(F.from_numpy_complex(y), start, count))
+    ref = np.fft.ifft(y, axis=0)[start : start + count]
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
+
+
+@pytest.mark.parametrize("m", [64, 256, 512, 2048])
+def test_irfft_tail_matches_full(m):
+    # upper-half-only inverse (the overlap-save valid region) == full + slice
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3, 5, m))
+    y = np.fft.rfft(x, axis=-1)
+    got = np.asarray(F.irfft_split_tail(jnp.asarray(y.real), jnp.asarray(y.imag), n=m))
+    np.testing.assert_allclose(got, x[..., m // 2 :], atol=1e-10)
+    got_c = F.to_numpy(F.irfft_tail(F.from_numpy_complex(y), n=m))
+    np.testing.assert_allclose(got_c, x[..., m // 2 :], atol=1e-10)
+
+
 def test_odd_irfft_length():
     rng = np.random.default_rng(4)
     x = rng.standard_normal((1, 64))
