@@ -94,7 +94,7 @@ def bench_streaming(spec, h, jnp, jax, n_iters):
     return sps, p50, s
 
 
-def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=4):
+def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=8):
     """Bulk-mode throughput: ``scan_batches`` x ``process_batch`` per
     dispatch (lax.scan), amortizing this image's ~30 ms tunnel round-trip
     over NB*B blocks; inputs are device-born (host->device here is ~5 MB/s).
@@ -192,7 +192,7 @@ def _run_path(which: str):
     if which == "batch":
         sps, s = bench_batch(spec, h, jnp, jax, n_iters=2 if on_cpu else 8,
                              batch_blocks=16 if on_cpu else 240,
-                             scan_batches=2 if on_cpu else 4)
+                             scan_batches=2 if on_cpu else 8)
         print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
     else:
         sps, p50, s = bench_streaming(spec, h, jnp, jax,
