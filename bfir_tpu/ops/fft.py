@@ -234,6 +234,65 @@ def _cfft_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
     return orr, oi  # reshape(*batch, mo) restores the original batch dims
 
 
+def _cfft_fourstep_r4(yr, yi, m: int, inverse: bool):
+    """Four-step FFT over the last axis with a radix-4 butterfly tail:
+    m = n1*4 with n1 = m/4.
+
+    Rationale (measured on v5e): the balanced n1~sqrt(m) split gives DFT
+    matmuls with K=N in {16, 32} that use only 16-32 of the MXU's 128
+    lanes; this variant does ONE full-width [.., 4, n1] @ [n1, n1] matmul
+    (n1 >= 128 for m >= 512) plus a 4-point DFT whose twiddles are all
+    {±1, ±i} — pure adds/subs that ride the VPU and fuse into neighbors.
+    Same decomposition as _cfft_fourstep (j = j1*4 + j2, k = k2*n1 + k1);
+    the butterfly emits [.., k2, k1] directly, so no output transpose.
+    """
+    rdt = yr.dtype.name
+    n1 = m // 4
+    batch = yr.shape[:-1]
+    if len(batch) > 1:  # see _cfft_fourstep's flatten note (backend bug)
+        yr = yr.reshape(-1, m)
+        yi = yi.reshape(-1, m)
+    fb = yr.shape[:-1]
+    yr = yr.reshape(*fb, n1, 4)
+    yi = yi.reshape(*fb, n1, 4)
+    yr_t = jnp.swapaxes(yr, -1, -2)  # [.., 4(j2), n1(j1)]
+    yi_t = jnp.swapaxes(yi, -1, -2)
+    cr1, ci1 = _cdft_weights(n1, rdt, inverse)
+    s1 = n1 if inverse else 1  # unscale the table's 1/n1; apply 1/m at tail
+    ar, ai = _cmatmul(yr_t, yi_t, jnp.asarray(cr1 * s1), jnp.asarray(ci1 * s1))
+    # twiddle W_m^{±j2*k1}: _twiddle(m, n1) is [n1(k1), 4(k2-like j2)] — we
+    # need [j2, k1], i.e. its transpose
+    twr, twi = _twiddle(m, n1, rdt, inverse)
+    twr_j = jnp.asarray(twr).T  # [4(j2), n1(k1)]
+    twi_j = jnp.asarray(twi).T
+    tr = ar * twr_j - ai * twi_j  # [.., j2, k1]
+    ti = ar * twi_j + ai * twr_j
+    t0r, t1r, t2r, t3r = tr[..., 0, :], tr[..., 1, :], tr[..., 2, :], tr[..., 3, :]
+    t0i, t1i, t2i, t3i = ti[..., 0, :], ti[..., 1, :], ti[..., 2, :], ti[..., 3, :]
+    # radix-4 DFT over j2: X[k2] = sum_j2 t[j2] W4^{s j2 k2}, s = ±1;
+    # W4^{-1} = -i (forward), +i (inverse)
+    er, ei = t0r + t2r, t0i + t2i        # even sums
+    fr_, fi_ = t0r - t2r, t0i - t2i      # even diffs
+    gr_, gi_ = t1r + t3r, t1i + t3i      # odd sums
+    hr_, hi_ = t1r - t3r, t1i - t3i      # odd diffs
+    # (±i)*(hr + i hi) = mp (hi? ...): -i*z = (zi, -zr); +i*z = (-zi, zr)
+    if inverse:
+        whr, whi = -hi_, hr_
+    else:
+        whr, whi = hi_, -hr_
+    s = (1.0 / m) if inverse else 1.0
+    x0r, x0i = er + gr_, ei + gi_
+    x1r, x1i = fr_ + whr, fi_ + whi
+    x2r, x2i = er - gr_, ei - gi_
+    x3r, x3i = fr_ - whr, fi_ - whi
+    orr = jnp.stack([x0r, x1r, x2r, x3r], axis=-2)  # [.., k2, k1]
+    oi = jnp.stack([x0i, x1i, x2i, x3i], axis=-2)
+    if inverse:
+        orr = orr * s
+        oi = oi * s
+    return orr.reshape(*batch, m), oi.reshape(*batch, m)
+
+
 def _pad_first(x, n: int):
     if x.shape[0] == n:
         return x

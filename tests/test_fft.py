@@ -84,6 +84,20 @@ def test_ifft0_slice_matches_numpy(m, start, count):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-11
 
 
+@pytest.mark.parametrize("m", [512, 1024, 2048])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fourstep_radix4_tail_matches_numpy(m, inverse):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((3, 7, m)) + 1j * rng.standard_normal((3, 7, m))
+    gr, gi = F._cfft_fourstep_r4(jnp.asarray(x.real), jnp.asarray(x.imag), m, inverse)
+    ref = (np.fft.ifft if inverse else np.fft.fft)(x, axis=-1)
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(gr) - ref.real).max() / scale < 1e-12
+    assert np.abs(np.asarray(gi) - ref.imag).max() / scale < 1e-12
+
+
 @pytest.mark.parametrize("m", [64, 256, 512, 2048])
 def test_irfft_tail_matches_full(m):
     # upper-half-only inverse (the overlap-save valid region) == full + slice
