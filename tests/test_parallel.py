@@ -140,6 +140,105 @@ def test_ppermute_step_matches_rolled(devices):
         np.asarray(jnp.real(st_ref.spectra_ring)), atol=1e-10)
 
 
+@pytest.mark.parametrize("c_shards,p_shards", [(2, 4), (1, 8)])
+def test_hlo_collectives(devices, c_shards, p_shards):
+    """The flagship sharded step must lower to exactly the claimed schedule:
+    one nearest-neighbor collective-permute (ring rotation) + one all-reduce
+    (partition psum), and NO all-gather of the ring (VERDICT r1 missing #1b).
+    """
+    import re
+
+    mesh = M.make_mesh(channel_shards=c_shards, partition_shards=p_shards)
+    spec = FilterSpec(block_length=128, n_partitions=8, dtype="float32")
+    c = 8
+    eng = ShardedEngine(spec, c, mesh)
+    state = jax.eval_shape(eng._init)
+    coeffs = jax.ShapeDtypeStruct((8, c, spec.n_freq), jnp.complex64,
+                                  sharding=eng._coeff_sharding)
+    state = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state, eng._state_shardings)
+    block = jax.ShapeDtypeStruct((c, 128), jnp.float32,
+                                 sharding=eng._block_sharding)
+    txt = eng._step.lower(state, coeffs, block).compile().as_text()
+    n_cp = len(re.findall(r"collective-permute", txt))
+    n_ar = len(re.findall(r"all-reduce", txt))
+    n_ag = len(re.findall(r"all-gather", txt))
+    if p_shards > 1:
+        assert n_cp >= 1, "ring rotation did not lower to collective-permute"
+        assert n_ar >= 1, "partition MAC did not lower to all-reduce (psum)"
+    assert n_ag == 0, f"sharded step must not all-gather (found {n_ag})"
+    # the schedule is minimal: one ppermute start/done pair, one psum
+    assert n_cp <= 2 and n_ar <= 2, f"extra collectives: cp={n_cp} ar={n_ar}"
+
+
+def test_gspmd_schedule_is_numerically_equal_but_not_flagship(devices):
+    """The GSPMD-compiled step_rolled cross-check: numerically identical to
+    the ppermute schedule, but the compiler inserts all-gathers around the
+    ring insert — which is exactly why it is NOT the product path."""
+    rng = np.random.default_rng(21)
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=8, dtype="float64")
+    c = 4
+    e1 = ShardedEngine(spec, c, mesh, schedule="ppermute")
+    e2 = ShardedEngine(spec, c, mesh, schedule="gspmd")
+    h = rng.standard_normal((c, spec.max_taps)) * 0.1
+    co1, co2 = e1.prepare_coeffs(h), e2.prepare_coeffs(h)
+    s1, s2 = e1.init_state(), e2.init_state()
+    for _ in range(5):
+        blk = rng.standard_normal((c, 64))
+        s1, o1 = e1.step(s1, co1, jnp.asarray(blk))
+        s2, o2 = e2.step(s2, co2, jnp.asarray(blk))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-10)
+
+
+def test_sharded_crossfade_matches_single_device(devices):
+    rng = np.random.default_rng(22)
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=8, dtype="float64")
+    c = 4
+    eng = ShardedEngine(spec, c, mesh)
+    h1 = rng.standard_normal((c, spec.max_taps)) * 0.1
+    h2 = rng.standard_normal((c, spec.max_taps)) * 0.1
+    co_old, co_new = eng.prepare_coeffs(h1), eng.prepare_coeffs(h2)
+    state = eng.init_state()
+    st_ref = cv.init_state(spec, c)
+    r_old = cv.coeffs_to_spectra(h1, spec)
+    r_new = cv.coeffs_to_spectra(h2, spec)
+    # a couple of plain steps, then the crossfade block, then continue on new
+    for _ in range(2):
+        blk = rng.standard_normal((c, 64))
+        state, out = eng.step(state, co_old, jnp.asarray(blk))
+        st_ref, ref = cv.step(st_ref, r_old, blk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    blk = rng.standard_normal((c, 64))
+    state, out = eng.step_crossfade(state, co_old, co_new, jnp.asarray(blk))
+    st_ref, ref = cv.step_crossfade(st_ref, r_old, r_new, blk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    for _ in range(2):
+        blk = rng.standard_normal((c, 64))
+        state, out = eng.step(state, co_new, jnp.asarray(blk))
+        st_ref, ref = cv.step(st_ref, r_new, blk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+
+
+def test_sharded_process_blocks_matches_step_loop(devices):
+    rng = np.random.default_rng(23)
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    spec = FilterSpec(block_length=64, n_partitions=4, dtype="float64")
+    c = 4
+    eng = ShardedEngine(spec, c, mesh)
+    h = rng.standard_normal((c, spec.max_taps)) * 0.1
+    coeffs = eng.prepare_coeffs(h)
+    state = eng.init_state()
+    blocks = rng.standard_normal((6, c, 64))
+    state, outs = eng.process_blocks(state, coeffs, jnp.asarray(blocks))
+    st_ref = cv.init_state(spec, c)
+    co_ref = cv.coeffs_to_spectra(h, spec)
+    st_ref, refs = cv.process_blocks(st_ref, co_ref, jnp.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(refs), atol=1e-10)
+
+
 def test_sharded_step_and_batch_interoperate(devices):
     # review regression: step (rolled ring) and process_batch (pointer ring)
     # on the same state produced silently wrong audio when mixed
