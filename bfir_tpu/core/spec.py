@@ -256,12 +256,19 @@ class EngineConfig:
     cli_enabled: bool = False
     cli_port: int = 3000  # default_cfg_cli_port (common.h:23)
     # streaming compute path: "auto" picks the packed Pallas kernel on TPU
-    # and the complex-dtype jnp path on CPU; force with "complex"/"packed"
+    # and the complex-dtype jnp path on CPU; force with "complex"/"packed";
+    # "sharded" runs the multi-device ppermute engine (parallel/sharded.py)
+    # over the session's mesh (all visible devices by default)
     engine_mode: str = "auto"
+    # run a known-answer self-check of the exact compiled graph at every
+    # coefficient build (engine/selfcheck.py); on failure the session falls
+    # back to the next implementation instead of producing wrong audio
+    self_check: bool = True
 
     def __post_init__(self):
-        if self.engine_mode not in ("auto", "complex", "packed"):
-            raise ValueError(f"engine_mode must be auto/complex/packed, got {self.engine_mode!r}")
+        if self.engine_mode not in ("auto", "complex", "packed", "sharded"):
+            raise ValueError(
+                f"engine_mode must be auto/complex/packed/sharded, got {self.engine_mode!r}")
 
 
 # ---------------------------------------------------------------------------

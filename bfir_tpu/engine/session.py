@@ -50,9 +50,15 @@ from bfir_tpu.utils.logging import pinfo
 
 
 class StreamProcessor:
-    def __init__(self, config: EngineConfig, cache: Optional[ArtifactCache] = None):
+    def __init__(self, config: EngineConfig, cache: Optional[ArtifactCache] = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with axes ("c", "p") for
+        ``engine_mode="sharded"``; defaults to all visible devices on the
+        partition axis (parallel.mesh.make_mesh)."""
         self.config = config
         self.cache = cache or ArtifactCache()
+        self._mesh = mesh
+        self._sharded = None
         self._channels = 0
         self._rate = 0
         self._active = False
@@ -104,8 +110,8 @@ class StreamProcessor:
             config.filter.block_length == old_cfg.filter.block_length
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
-            and self._impl == "complex"  # crossfade implemented on the
-            # complex path; packed engines rebuild (cold swap) for now
+            and self._impl in ("complex", "sharded")  # crossfade implemented
+            # on these paths; packed engines rebuild (cold swap) for now
         )
         if not same_geom:
             self._channels = 0
@@ -128,7 +134,10 @@ class StreamProcessor:
                 self._active = False
             return
         fspec = self._runtime_filter_spec
-        new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
+        if self._impl == "sharded":
+            new_coeffs = self._sharded.prepare_coeffs(built.impulse, scale=built.scale)
+        else:
+            new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._pending_swap = new_coeffs  # picked up at the next block
 
     def reset(self) -> None:
@@ -148,6 +157,8 @@ class StreamProcessor:
             from bfir_tpu.kernels import spectrum_mac as K
 
             self._state = K.init_packed_state(fspec, self._channels)
+        elif self._impl == "sharded":
+            self._state = self._sharded.init_state()
         else:
             self._state = cv.init_state(fspec, self._channels)
         self._pending = np.zeros((self._channels, 0), dtype=fspec.dtype)
@@ -183,9 +194,55 @@ class StreamProcessor:
             self._active = False
             return
         self.n_partitions = built.n_partitions
-        self._impl = self._resolve_engine_mode()
+
+        # Candidate implementations, most capable first; a failed known-answer
+        # self-check (engine/selfcheck.py) falls through to the next one
+        # rather than streaming wrong audio (the reference's self-verification
+        # philosophy: convolver_verify_cbuf, fftw_convolver.cpp:569-602).
+        first = self._resolve_engine_mode()
+        candidates = [first] + (["complex"] if first != "complex" else [])
+        for impl in candidates:
+            try:
+                self._build_impl(impl, built, n_channels)
+                break
+            except Exception as e:
+                from bfir_tpu.engine.selfcheck import EngineSelfCheckError
+
+                if isinstance(e, EngineSelfCheckError):
+                    pinfo("%s", e)
+                    pinfo("Engine '%s' refused; trying next implementation.", impl)
+                else:
+                    pinfo("Engine '%s' failed to build (%s); trying next.", impl, e)
+                continue
+        else:
+            pinfo("No engine implementation passed verification; passing through.")
+            self._active = False
+            return
+        self._active = True
         fspec = self._runtime_filter_spec
-        if self._impl == "packed":
+        pinfo("Filter length: %u samples, %u blocks.",
+              fspec.block_length, fspec.n_partitions)
+        pinfo("Format: %u channels, %u Hz.", n_channels, rate)
+
+    def _build_impl(self, impl: str, built, n_channels: int) -> None:
+        """Build coefficients + jitted step + state for one implementation
+        and (unless disabled) run the known-answer self-check through the
+        exact production callable."""
+        self._impl = impl
+        fspec = self._runtime_filter_spec
+        if impl == "sharded":
+            from bfir_tpu.parallel.sharded import ShardedEngine
+
+            mesh = self._resolve_mesh()
+            if n_channels % mesh.shape["c"]:
+                raise ValueError(
+                    f"{n_channels} channels not divisible by mesh c={mesh.shape['c']}")
+            self._sharded = ShardedEngine(fspec, n_channels, mesh)
+            self._coeffs = self._sharded.prepare_coeffs(built.impulse,
+                                                        scale=built.scale)
+            step_call = self._sharded.step
+            init_state = self._sharded.init_state
+        elif impl == "packed":
             from bfir_tpu.kernels import spectrum_mac as K
 
             self._coeffs = K.pack_coeffs(built.impulse, fspec, self._channels,
@@ -195,13 +252,19 @@ class StreamProcessor:
                 lambda s, g, blk: K.step_packed(s, g, blk, interpret=interp),
                 donate_argnums=0,
             )
+            step_call = self._step_packed
+            init_state = lambda: K.init_packed_state(fspec, self._channels)
         else:
             self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
+            step_call = self._step
+            init_state = lambda: cv.init_state(fspec, self._channels)
+        if self.config.self_check:
+            from bfir_tpu.engine import selfcheck
+
+            scaled = np.asarray(built.impulse, dtype=np.float64) * built.scale
+            selfcheck.check_stream(step_call, init_state, self._coeffs, scaled,
+                                   fspec, n_channels, label=f"engine '{impl}'")
         self._init_runtime_state()
-        self._active = True
-        pinfo("Filter length: %u samples, %u blocks.",
-              fspec.block_length, fspec.n_partitions)
-        pinfo("Format: %u channels, %u Hz.", n_channels, rate)
 
     @property
     def _runtime_filter_spec(self) -> FilterSpec:
@@ -216,11 +279,24 @@ class StreamProcessor:
                 pinfo("float64 unavailable (x64 disabled); engine runs float32.")
                 self._warned_f64 = True
             dtype = "float32"
+        parts = max(1, self.n_partitions)
+        if self._impl == "sharded":
+            # partitions must divide evenly over the mesh "p" axis; round up
+            # (the extra partitions hold zero coefficients — exact output)
+            p_shards = self._resolve_mesh().shape["p"]
+            parts = -(-parts // p_shards) * p_shards
         return FilterSpec(
             block_length=self.config.filter.block_length,
-            n_partitions=max(1, self.n_partitions),
+            n_partitions=parts,
             dtype=dtype,
         )
+
+    def _resolve_mesh(self):
+        if self._mesh is None:
+            from bfir_tpu.parallel import mesh as M
+
+            self._mesh = M.make_mesh()
+        return self._mesh
 
     # -- streaming ----------------------------------------------------------
 
@@ -252,11 +328,17 @@ class StreamProcessor:
             with self.block_timer.measure():
                 if swap is not None:
                     self._pending_swap = None
-                    self._state, out = self._xfade_step(
-                        self._state, self._coeffs, swap, block)
+                    if self._impl == "sharded":
+                        self._state, out = self._sharded.step_crossfade(
+                            self._state, self._coeffs, swap, block)
+                    else:
+                        self._state, out = self._xfade_step(
+                            self._state, self._coeffs, swap, block)
                     self._coeffs = swap
                 elif self._impl == "packed":
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
+                elif self._impl == "sharded":
+                    self._state, out = self._sharded.step(self._state, self._coeffs, block)
                 else:
                     self._state, out = self._step(self._state, self._coeffs, block)
                 out_np = np.asarray(out)
@@ -295,7 +377,7 @@ class StreamProcessor:
             return frames
         # decided only after (re)initialization: the engine implementation
         # is chosen there, and a queued crossfade needs the block loop
-        # (the scan path is complex-only)
+        # (the scan paths handle plain steps only)
         if self._pending_swap is not None or self._impl == "packed":
             return self._process_locked(frames, sample_rate)
 
@@ -308,7 +390,11 @@ class StreamProcessor:
         c = buf.shape[0]
         blocks = buf[:, : n_blocks * n].reshape(c, n_blocks, n).transpose(1, 0, 2)
         self._pending = buf[:, n_blocks * n :]
-        self._state, outs = self._scan(self._state, self._coeffs, blocks)
+        if self._impl == "sharded":
+            self._state, outs = self._sharded.process_blocks(
+                self._state, self._coeffs, jax.numpy.asarray(blocks))
+        else:
+            self._state, outs = self._scan(self._state, self._coeffs, blocks)
         out_np = np.asarray(outs)  # [B, C, N]
         if not np.isfinite(out_np[0, 0, 0]):
             pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
