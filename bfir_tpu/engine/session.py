@@ -69,6 +69,7 @@ class StreamProcessor:
         self._lock = threading.RLock()
         self._step = jax.jit(cv.step, donate_argnums=0)
         self._xfade_step = jax.jit(cv.step_crossfade)
+        self._xfade_packed = None
         self._pending_swap = None
         self._impl = "complex"
         self._step_packed = None
@@ -110,8 +111,9 @@ class StreamProcessor:
             config.filter.block_length == old_cfg.filter.block_length
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
-            and self._impl in ("complex", "sharded")  # crossfade implemented
-            # on these paths; packed engines rebuild (cold swap) for now
+            # crossfade is implemented on every engine path (complex:
+            # cv.step_crossfade; sharded: ppermute crossfade step; packed:
+            # kernels.spectrum_mac.step_packed_crossfade)
         )
         if not same_geom:
             self._channels = 0
@@ -136,6 +138,11 @@ class StreamProcessor:
         fspec = self._runtime_filter_spec
         if self._impl == "sharded":
             new_coeffs = self._sharded.prepare_coeffs(built.impulse, scale=built.scale)
+        elif self._impl == "packed":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            new_coeffs = K.pack_coeffs(built.impulse, fspec, self._channels,
+                                       scale=built.scale)
         else:
             new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._pending_swap = new_coeffs  # picked up at the next block
@@ -330,6 +337,16 @@ class StreamProcessor:
                     self._pending_swap = None
                     if self._impl == "sharded":
                         self._state, out = self._sharded.step_crossfade(
+                            self._state, self._coeffs, swap, block)
+                    elif self._impl == "packed":
+                        if self._xfade_packed is None:
+                            from bfir_tpu.kernels import spectrum_mac as K
+
+                            interp = jax.default_backend() == "cpu"
+                            self._xfade_packed = jax.jit(
+                                lambda s, o, nw, blk: K.step_packed_crossfade(
+                                    s, o, nw, blk, interpret=interp))
+                        self._state, out = self._xfade_packed(
                             self._state, self._coeffs, swap, block)
                     else:
                         self._state, out = self._xfade_step(
