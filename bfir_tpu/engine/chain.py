@@ -7,9 +7,9 @@ reference                                     here
 ---------                                     ----
 EQ enabled -> equalizer::generate, cached     render via ops.equalizer, cached
   WAV keyed by band hash (:151-176)             with the same eq-<hash> scheme
-per file: channel/rate check, else resample   wavio read + ops.resample, cached
-  via libsamplerate if flag set, else drop      with the ir-<hash> scheme
-  (:177-247)
+per file: channel/rate check, else resample   sndio read (WAV/FLAC/AIFF) +
+  via libsamplerate if flag set, else drop        ops.resample, cached
+  (:177-247)                                    with the ir-<hash> scheme
 >1 impulse: iterative block convolution       one direct spectral multiply per
   through an offline brutefir instance          impulse (mathematically what the
   (preprocessor.cpp:104-194)                    block scheme computes), cached
@@ -40,7 +40,7 @@ import numpy as np
 from bfir_tpu.core.convolver import direct_convolve_spectra
 from bfir_tpu.core.spec import ChainSpec, EngineConfig, FilterSpec, StreamSpec
 from bfir_tpu.engine.cache import ArtifactCache
-from bfir_tpu.io import wavio
+from bfir_tpu.io import sndio, wavio
 from bfir_tpu.ops.equalizer import ISO_BANDS, render_fir
 from bfir_tpu.ops.resample import resample
 from bfir_tpu.utils.logging import pinfo
@@ -65,7 +65,7 @@ def _load_impulse_file(
     if not f.filename or not os.path.exists(f.filename):
         pinfo("Impulse file missing: %s", f.filename)
         return None
-    info = wavio.read_info(f.filename)
+    info = sndio.read_info(f.filename)
     if info.n_channels not in (1, stream.n_channels):
         pinfo("Impulse channel mismatch (%d vs %d): %s",
               info.n_channels, stream.n_channels, f.filename)
@@ -78,14 +78,14 @@ def _load_impulse_file(
         if os.path.exists(cached):
             audio, _ = wavio.read(cached)
         else:
-            audio, src_rate = wavio.read(f.filename)
+            audio, src_rate = sndio.read(f.filename)
             audio = np.asarray(
                 resample(audio.T, src_rate, stream.sample_rate, dtype=np.float64)
             ).T
             # reference caches resampled impulses as float32 WAV (buffer.cpp:260)
             wavio.write(cached, audio, stream.sample_rate, subtype="float32")
     else:
-        audio, _ = wavio.read(f.filename)
+        audio, _ = sndio.read(f.filename)
     imp = audio.T  # [C, taps]
     if imp.shape[0] == 1 and stream.n_channels > 1:
         imp = np.repeat(imp, stream.n_channels, axis=0)

@@ -9,7 +9,7 @@ Equivalent of the reference's ``brutefir/coeff.{cpp,hpp}`` loader family:
 - ``load_raw``       -> ``coeff::load_raw_coeff`` (coeff.cpp:153-228): packed
   binary samples of a given PCM format, scaled to +-1 full scale.
 - ``load_sound``     -> ``coeff::load_snd_coeff`` (coeff.cpp:245-277): via
-  the WAV reader, deinterlaced to [C, taps].
+  the any-format reader (io.sndio: WAV/FLAC/AIFF), deinterlaced to [C, taps].
 
 All loaders return float64 numpy [C, taps] (C=1 for shared coefficients —
 the engine broadcasts).
@@ -64,7 +64,9 @@ def dump_text(path: str, impulse: np.ndarray) -> None:
 
 
 def load_sound(path: str, max_taps: int = None) -> np.ndarray:
-    audio, _rate = wavio.read(path)
+    from bfir_tpu.io import sndio
+
+    audio, _rate = sndio.read(path)
     h = audio.T
     if max_taps is not None:
         h = h[:, :max_taps]

@@ -1,0 +1,307 @@
+"""Any-format impulse IO: FLAC codec, AIFF reader, sndio dispatch, and
+chain integration (VERDICT r1 missing #3 / next #7; reference behavior:
+buffer.cpp:37-139 loads impulses via libsndfile, any format)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bfir_tpu.io import aiffio, flacio, sndio, wavio
+from bfir_tpu.io.flacio import (BitWriter, _md5_of_samples, crc8, crc16,
+                                read_flac, write_flac)
+
+
+# -- FLAC roundtrips (encoder is verbatim/fixed+rice; decoder verifies CRCs
+#    and the STREAMINFO MD5, so a matched encode/decode bug cannot hide) ----
+
+
+def test_flac_roundtrip_16bit_stereo(tmp_path):
+    rng = np.random.default_rng(0)
+    # correlated signal so the fixed-predictor path is exercised
+    x = np.cumsum(rng.integers(-500, 500, size=(9000, 2)), axis=0)
+    x = np.clip(x, -32768, 32767).astype(np.int32)
+    p = str(tmp_path / "a.flac")
+    write_flac(p, x, 44100, bps=16)
+    y, rate = read_flac(p)
+    assert rate == 44100
+    np.testing.assert_array_equal(np.rint(y * 32768).astype(np.int32), x)
+
+
+def test_flac_roundtrip_24bit_mono_odd_tail(tmp_path):
+    rng = np.random.default_rng(1)
+    x = np.cumsum(rng.integers(-60000, 60000, size=(5001, 1)), axis=0)
+    x = np.clip(x, -(1 << 23), (1 << 23) - 1).astype(np.int64)
+    p = str(tmp_path / "b.flac")
+    write_flac(p, x, 96000, bps=24)
+    y, rate = read_flac(p)
+    assert rate == 96000 and y.shape == (5001, 1)
+    np.testing.assert_array_equal(np.rint(y * (1 << 23)).astype(np.int64), x)
+
+
+def test_flac_constant_and_noise_channels(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 4096
+    x = np.stack([np.full(n, 123), rng.integers(-30000, 30000, n)], axis=1)
+    p = str(tmp_path / "c.flac")
+    write_flac(p, x.astype(np.int64), 48000, bps=16)
+    y, _ = read_flac(p)
+    np.testing.assert_array_equal(np.rint(y * 32768).astype(np.int64), x)
+
+
+def test_flac_md5_catches_corruption(tmp_path):
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.integers(-100, 100, size=(4096, 1)), axis=0).astype(np.int64)
+    p = str(tmp_path / "d.flac")
+    write_flac(p, x, 44100, bps=16)
+    raw = bytearray(open(p, "rb").read())
+    raw[60] ^= 0xFF  # corrupt one byte inside the first frame
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(flacio.FlacError):
+        read_flac(p)
+
+
+def _handcraft_flac(frames_writer, n, channels, bps, rate, samples):
+    """Build a FLAC stream with custom frame content (LPC / stereo modes)."""
+    out = bytearray(b"fLaC")
+    si = BitWriter()
+    si.write(n, 16); si.write(n, 16); si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(channels - 1, 3); si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.getvalue() + _md5_of_samples(samples, bps)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    out += frames_writer()
+    return bytes(out)
+
+
+def _frame_header(n, channels_code, bps, frame_no=0):
+    bw = BitWriter()
+    bw.write(0x3FFE, 14); bw.write(0, 1); bw.write(0, 1)
+    bw.write(7, 4)   # 16-bit blocksize at end
+    bw.write(0, 4)   # rate from streaminfo
+    bw.write(channels_code, 4)
+    bw.write({8: 1, 16: 4, 24: 6}[bps], 3)
+    bw.write(0, 1)
+    bw.write_utf8_number(frame_no)
+    bw.write(n - 1, 16)
+    bw.align()
+    hdr = bw.getvalue()
+    return hdr + bytes([crc8(hdr)])
+
+
+def _verbatim_subframe(bw, x, bps):
+    bw.write(0, 1); bw.write(1, 6); bw.write(0, 1)
+    for v in x:
+        bw.write_signed(int(v), bps)
+
+
+def test_flac_lpc_subframe_decodes(tmp_path):
+    """Hand-crafted LPC order-2 subframe (pred = 2a[n-1] - a[n-2] via
+    quantized coeffs [2, -1] at shift 0)."""
+    rng = np.random.default_rng(4)
+    n, bps = 256, 16
+    x = np.cumsum(rng.integers(-50, 50, n)).astype(np.int64)
+    samples = x[:, None]
+
+    def frames():
+        hdr = _frame_header(n, 0, bps)
+        bw = BitWriter()
+        bw.write(0, 1)
+        bw.write(32 + 1, 6)  # LPC, order 2 -> 0b100001
+        bw.write(0, 1)
+        for v in x[:2]:
+            bw.write_signed(int(v), bps)
+        bw.write(14, 4)       # precision 15
+        bw.write_signed(0, 5)  # shift 0
+        bw.write_signed(2, 15)
+        bw.write_signed(-1, 15)
+        res = x[2:] - (2 * x[1:-1] - x[:-2])
+        bw.write(0, 2); bw.write(0, 4)  # rice, 1 partition
+        k = 6
+        bw.write(k, 4)
+        for r in res:
+            u = (int(r) << 1) ^ (int(r) >> 63)
+            bw.write_unary(u >> k)
+            bw.write(u & ((1 << k) - 1), k)
+        bw.align()
+        fr = hdr + bw.getvalue()
+        return fr + crc16(fr).to_bytes(2, "big")
+
+    p = str(tmp_path / "lpc.flac")
+    open(p, "wb").write(_handcraft_flac(frames, n, 1, bps, 44100, samples))
+    y, _ = read_flac(p)
+    np.testing.assert_array_equal(np.rint(y[:, 0] * 32768).astype(np.int64), x)
+
+
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+def test_flac_stereo_decorrelation_modes(tmp_path, mode):
+    rng = np.random.default_rng(5)
+    n, bps = 192, 16
+    left = rng.integers(-20000, 20000, n).astype(np.int64)
+    right = (left + rng.integers(-100, 100, n)).astype(np.int64)
+    samples = np.stack([left, right], axis=1)
+    side = left - right
+
+    def frames():
+        code = {"left_side": 8, "right_side": 9, "mid_side": 10}[mode]
+        hdr = _frame_header(n, code, bps)
+        bw = BitWriter()
+        if mode == "left_side":
+            _verbatim_subframe(bw, left, bps)
+            _verbatim_subframe(bw, side, bps + 1)
+        elif mode == "right_side":
+            _verbatim_subframe(bw, side, bps + 1)
+            _verbatim_subframe(bw, right, bps)
+        else:
+            mid = (left + right) >> 1
+            _verbatim_subframe(bw, mid, bps)
+            _verbatim_subframe(bw, side, bps + 1)
+        bw.align()
+        fr = hdr + bw.getvalue()
+        return fr + crc16(fr).to_bytes(2, "big")
+
+    p = str(tmp_path / f"{mode}.flac")
+    open(p, "wb").write(_handcraft_flac(frames, n, 2, bps, 44100, samples))
+    y, _ = read_flac(p)
+    np.testing.assert_array_equal(np.rint(y * 32768).astype(np.int64), samples)
+
+
+# -- AIFF --------------------------------------------------------------------
+
+
+def test_aiff_reads_stdlib_aifc_output(tmp_path):
+    """Oracle: python's own (independent) aifc writer."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+    rng = np.random.default_rng(6)
+    x = rng.integers(-30000, 30000, size=(1000, 2)).astype(np.int16)
+    p = str(tmp_path / "a.aiff")
+    w = aifc.open(p, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(x.astype(">i2").tobytes())
+    w.close()
+    y, rate = aiffio.read(p)
+    assert rate == 44100
+    np.testing.assert_array_equal(np.rint(y * 32768).astype(np.int16), x)
+
+
+def _write_aifc(path, comp, body_bytes, ch, frames, bits, rate=44100):
+    def ext80(r):
+        # 44100 = 0x4000E * ... build via frexp
+        import math
+
+        m, e = math.frexp(r)
+        mant = int(m * (1 << 64))
+        return struct.pack(">H", e - 1 + 16383) + mant.to_bytes(8, "big")
+
+    comm = struct.pack(">hIh", ch, frames, bits) + ext80(rate) + comp + b"\x00\x00"
+    ssnd = struct.pack(">II", 0, 0) + body_bytes
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm + (b"\x00" if len(comm) & 1 else b"")
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    data = b"AIFC" + chunks
+    open(path, "wb").write(b"FORM" + struct.pack(">I", len(data)) + data)
+
+
+def test_aifc_sowt_and_float32(tmp_path):
+    rng = np.random.default_rng(7)
+    x = rng.integers(-30000, 30000, size=(500, 2)).astype(np.int16)
+    p = str(tmp_path / "sowt.aifc")
+    _write_aifc(p, b"sowt", x.astype("<i2").tobytes(), 2, 500, 16)
+    y, _ = aiffio.read(p)
+    np.testing.assert_array_equal(np.rint(y * 32768).astype(np.int16), x)
+
+    f = rng.standard_normal((300, 1)).astype(np.float32) * 0.5
+    p2 = str(tmp_path / "f32.aifc")
+    _write_aifc(p2, b"fl32", f.astype(">f4").tobytes(), 1, 300, 32)
+    y2, _ = aiffio.read(p2)
+    np.testing.assert_allclose(y2, f.astype(np.float64), atol=0)
+
+
+def test_aiff_24bit(tmp_path):
+    rng = np.random.default_rng(8)
+    v = rng.integers(-(1 << 23), 1 << 23, size=400).astype(np.int32)
+    b = np.zeros((400, 3), np.uint8)
+    u = v.astype(np.int64) & 0xFFFFFF
+    b[:, 0] = u >> 16
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = u & 0xFF
+    p = str(tmp_path / "x24.aiff")
+    _write_aifc(p, b"NONE", b.tobytes(), 1, 400, 24)
+    y, _ = aiffio.read(p)
+    np.testing.assert_array_equal(np.rint(y[:, 0] * (1 << 23)).astype(np.int32), v)
+
+
+# -- sndio dispatch + chain integration ---------------------------------------
+
+
+def test_sndio_dispatch_and_info(tmp_path):
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((600, 2)) * 0.2)
+
+    pw = str(tmp_path / "i.wav")
+    wavio.write(pw, x, 44100, subtype="float64")
+    pf = str(tmp_path / "i.flac")
+    write_flac(pf, x, 44100, bps=24)
+
+    yw, rw = sndio.read(pw)
+    yf, rf = sndio.read(pf)
+    assert rw == rf == 44100
+    np.testing.assert_allclose(yw, x, atol=1e-12)
+    np.testing.assert_allclose(yf, x, atol=2 ** -23)
+    iw, jf = sndio.read_info(pw), sndio.read_info(pf)
+    assert (iw.n_channels, iw.sample_rate, iw.n_frames) == (2, 44100, 600)
+    assert (jf.n_channels, jf.sample_rate, jf.n_frames) == (2, 44100, 600)
+    assert jf.format == "flac"
+
+
+def test_sndio_unsupported_names_format(tmp_path):
+    p = str(tmp_path / "x.ogg")
+    open(p, "wb").write(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="Ogg"):
+        sndio.read(p)
+    p2 = str(tmp_path / "junk.bin")
+    open(p2, "wb").write(b"\x01\x02\x03\x04" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unknown"):
+        sndio.read(p2)
+
+
+def test_chain_loads_flac_impulse(tmp_path):
+    """A FLAC impulse file streams identically to the same impulse as WAV."""
+    from tests.test_engine import make_config
+    from bfir_tpu.engine.cache import ArtifactCache
+    from bfir_tpu.engine.session import StreamProcessor
+
+    rng = np.random.default_rng(10)
+    imp = rng.standard_normal((2, 300)) * 0.1
+    pw = str(tmp_path / "ir.wav")
+    wavio.write(pw, imp.T, 44100, subtype="float64")
+    pf = str(tmp_path / "ir.flac")
+    write_flac(pf, imp.T, 44100, bps=24)
+
+    x = rng.standard_normal((2, 1024))
+    outs = {}
+    for name, path in (("wav", pw), ("flac", pf)):
+        sp = StreamProcessor(make_config(tmp_path, files=[(path, 0, False)]),
+                             ArtifactCache(str(tmp_path / f"c{name}")))
+        outs[name] = sp.process(x)
+        assert sp._active, name
+    # 24-bit quantization of the impulse bounds the output difference
+    assert np.max(np.abs(outs["flac"] - outs["wav"])) < 1e-4
+
+
+def test_coeffio_load_sound_flac(tmp_path):
+    from bfir_tpu.io import coeffio
+
+    rng = np.random.default_rng(11)
+    imp = rng.standard_normal((2, 64)) * 0.3
+    p = str(tmp_path / "c.flac")
+    write_flac(p, imp.T, 44100, bps=24)
+    h = coeffio.load_sound(p)
+    assert h.shape == (2, 64)
+    np.testing.assert_allclose(h, imp, atol=2 ** -22)
