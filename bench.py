@@ -198,86 +198,112 @@ def bench_fft(spec, jnp, jax, n_iters):
     """FFT-only microbench (BASELINE.md '>=95% of roofline' target;
     VERDICT r1 missing #5).
 
-    Measures the engine's forward transform (ops.fft.rfft_split on the
-    [C, 2N] streaming frame) and reports:
+    Measures the engine's forward transform (ops.fft.rfft_split) at the
+    streaming hot-path shape [C, 2N] and at a bulk shape (fat batch, where
+    the MXU can actually be filled), and reports:
     - achieved effective GFLOP/s (standard FFT work, 5*M*log2(M) per row)
     - achieved HBM GB/s (minimal traffic: read input + write split output)
     - roofline fraction: t_roofline / t_measured where t_roofline =
       max(min_bytes / peak_BW, ideal_flops / peak_FLOPs) and both peaks are
-      measured on-device (a saturating copy and a big f32 matmul), so the
-      fraction is honest for this chip + tunnel, not a datasheet number.
+      measured on-device, so the fraction is honest for this chip, not a
+      datasheet number.
+
+    Every timed quantity runs K iterations inside ONE jitted
+    lax.scan/fori_loop dispatch and divides by K: this image reaches the TPU
+    through a tunnel whose ~25 ms round-trip would otherwise swamp any
+    microsecond-scale op (per-dispatch timing measured a 4096^2 add at
+    "5 GB/s"). The scan carries a data dependency, so iterations cannot
+    overlap or be elided.
     """
     from bfir_tpu.ops import fft as F
+    from jax import lax
 
     c, m = CHANNELS, 2 * BLOCK
     f = BLOCK + 1
     rng = np.random.default_rng(7)
+    kk = 4 if jax.default_backend() == "cpu" else 64
+
+    def timed_scan(fn, init, label):
+        """Median wall time of one fn application: kk chained applications
+        per dispatch, synced per dispatch, divided by kk."""
+        g = jax.jit(lambda x0: lax.scan(lambda x, _: (fn(x), None), x0,
+                                        None, length=kk)[0])
+        y = g(init)
+        jax.block_until_ready(y)
+        ts = []
+        for _ in range(max(3, n_iters // 6)):
+            t0 = time.time()
+            y = g(y)
+            float(jnp.sum(jax.tree_util.tree_leaves(y)[0][0]))
+            ts.append(time.time() - t0)
+        t = float(np.median(ts)) / kk
+        log(f"{label}: {t*1e6:.1f} us/iter ({kk} chained/dispatch)")
+        return t
 
     # peak HBM bandwidth: big copy-add (reads + writes 2 x 64 MB)
     big = jnp.asarray(rng.standard_normal((4096, 4096)).astype(np.float32))
-    addone = jax.jit(lambda a: a + 1.0)
-    big = addone(big)
-    jax.block_until_ready(big)
-    ts = []
-    for _ in range(max(3, n_iters // 4)):
-        t0 = time.time()
-        big = addone(big)
-        float(jnp.sum(big[0]))
-        ts.append(time.time() - t0)
-    bw_peak = 2 * big.size * 4 / float(np.median(ts))
+    t_add = timed_scan(lambda a: a + 1.0, big, "peak-BW probe (4096^2 add)")
+    bw_peak = 2 * big.size * 4 / t_add
     log(f"measured peak HBM BW: {bw_peak/1e9:.0f} GB/s")
 
-    # peak matmul FLOP/s (f32, HIGHEST precision like the engine's DFT path)
-    from jax import lax
+    # peak matmul FLOP/s (f32 HIGHEST, like the engine's DFT path); the
+    # carry is renormalized each step so values stay finite
     mm_n = 2048
-    a = jnp.asarray(rng.standard_normal((mm_n, mm_n)).astype(np.float32))
-    mm = jax.jit(lambda x: lax.dot(x, x, precision=lax.Precision.HIGHEST))
-    y = mm(a)
-    jax.block_until_ready(y)
-    ts = []
-    for _ in range(max(3, n_iters // 4)):
-        t0 = time.time()
-        y = mm(a)
-        float(jnp.sum(y[0]))
-        ts.append(time.time() - t0)
-    flops_peak = 2 * mm_n**3 / float(np.median(ts))
+    a = jnp.asarray((rng.standard_normal((mm_n, mm_n)) / np.sqrt(mm_n))
+                    .astype(np.float32))
+
+    def mm_step(x):
+        y = lax.dot(a, x, precision=lax.Precision.HIGHEST)
+        return y / jnp.sqrt(jnp.mean(y * y) + 1e-30)
+
+    t_mm = timed_scan(mm_step, a, "peak-matmul probe (2048^3 f32 HIGHEST)")
+    flops_peak = 2 * mm_n**3 / t_mm
     log(f"measured peak f32 matmul: {flops_peak/1e12:.2f} TFLOP/s")
 
-    # the transform under test, batched like the streaming hot path
-    fwd = jax.jit(lambda x: F.rfft_split(x))
-    x = jnp.asarray(rng.standard_normal((c, m)).astype(np.float32))
-    xr, xi = fwd(x)
-    jax.block_until_ready((xr, xi))
-    # correctness vs numpy
-    ref = np.fft.rfft(np.asarray(x).astype(np.float64), axis=-1)
-    err = max(float(np.max(np.abs(np.asarray(xr) - ref.real))),
-              float(np.max(np.abs(np.asarray(xi) - ref.imag))))
-    scale = float(np.max(np.abs(ref)))
-    log(f"fft max abs err: {err:.3e} (scale {scale:.1f})")
-    if err > 1e-2 * scale:
-        return {}
-    pool = [jnp.asarray(rng.standard_normal((c, m)).astype(np.float32))
-            for _ in range(4)]
-    jax.block_until_ready(pool)
-    ts = []
-    for i in range(n_iters):
-        t0 = time.time()
-        xr, xi = fwd(pool[i % 4])
-        float(jnp.sum(xr))
-        ts.append(time.time() - t0)
-    t_meas = float(np.median(ts))
+    def fft_frac(rows, label):
+        x = jnp.asarray(rng.standard_normal((rows, m)).astype(np.float32))
+        # correctness vs numpy before timing
+        xr, xi = jax.jit(F.rfft_split)(x)
+        ref = np.fft.rfft(np.asarray(x[:8]).astype(np.float64), axis=-1)
+        err = max(float(np.max(np.abs(np.asarray(xr[:8]) - ref.real))),
+                  float(np.max(np.abs(np.asarray(xi[:8]) - ref.imag))))
+        scale = float(np.max(np.abs(ref)))
+        log(f"fft[{rows},{m}] max abs err: {err:.3e} (scale {scale:.1f})")
+        if err > 1e-2 * scale:
+            return None
 
-    ideal_flops = c * 5.0 * m * np.log2(m)
-    min_bytes = c * (m * 4 + 2 * f * 4)
-    t_roof = max(min_bytes / bw_peak, ideal_flops / flops_peak)
-    frac = t_roof / t_meas
-    gflops = ideal_flops / t_meas / 1e9
-    gbps = min_bytes / t_meas / 1e9
-    log(f"fft [{c},{m}] f32: {t_meas*1e6:.1f} us -> {gflops:.0f} GFLOP/s "
-        f"(effective), {gbps:.0f} GB/s, roofline frac {frac:.2f}")
-    return {"fft_us": t_meas * 1e6, "fft_gflops": gflops, "fft_gbps": gbps,
-            "fft_roofline_frac": frac, "peak_bw_gbps": bw_peak / 1e9,
-            "peak_matmul_tflops": flops_peak / 1e12}
+        def step(xx):
+            yr, yi = F.rfft_split(xx)
+            # fold the spectrum back into a same-shaped real carry (cheap
+            # VPU work) so the scan chains without shape change
+            return jnp.concatenate([yr[..., :m // 2], yi[..., :m // 2]],
+                                   axis=-1) * 0.01 + xx * 0.5
+
+        t_meas = timed_scan(step, x, f"fft {label}")
+        ideal_flops = rows * 5.0 * m * np.log2(m)
+        min_bytes = rows * (m * 4 + 2 * f * 4)
+        t_roof = max(min_bytes / bw_peak, ideal_flops / flops_peak)
+        frac = t_roof / t_meas
+        gflops = ideal_flops / t_meas / 1e9
+        gbps = min_bytes / t_meas / 1e9
+        log(f"fft [{rows},{m}] f32: {t_meas*1e6:.1f} us -> {gflops:.0f} "
+            f"GFLOP/s (effective), {gbps:.0f} GB/s, roofline frac {frac:.2f}")
+        return {"us": t_meas * 1e6, "gflops": gflops, "gbps": gbps,
+                "frac": frac}
+
+    stream_r = fft_frac(c, "streaming shape")
+    bulk_r = fft_frac(2048 if jax.default_backend() != "cpu" else 256,
+                      "bulk shape")
+    res = {"peak_bw_gbps": bw_peak / 1e9,
+           "peak_matmul_tflops": flops_peak / 1e12}
+    if stream_r:
+        res.update({"fft_us": stream_r["us"], "fft_gflops": stream_r["gflops"],
+                    "fft_gbps": stream_r["gbps"],
+                    "fft_roofline_frac": stream_r["frac"]})
+    if bulk_r:
+        res.update({"fft_bulk_gflops": bulk_r["gflops"],
+                    "fft_bulk_roofline_frac": bulk_r["frac"]})
+    return res
 
 
 def _setup_jax():
@@ -349,7 +375,10 @@ def main():
         return {}
 
     batch = sub("batch", 900)      # headline path first
-    stream = sub("stream", 900)
+    # stream needs headroom: Mosaic/Pallas kernels have no persistent compile
+    # cache (CLAUDE.md), so the kernel + the 64-step scan compile cold every
+    # run (observed >900s total on a slow tunnel)
+    stream = sub("stream", 1800)
     fft = sub("fft", 600)
 
     batch_sps = batch.get("sps", 0.0) or 0.0
@@ -368,7 +397,8 @@ def main():
                   f"{p50*1e3:.2f} ms/block tunnel, {floor*1e3:.3f} ms/block "
                   f"device floor; SNR {min(snrs) if snrs else float('nan'):.0f} dB; "
                   f"fft {fft.get('fft_gflops', float('nan')):.0f} GFLOP/s = "
-                  f"{fft.get('fft_roofline_frac', float('nan')):.2f} of roofline)",
+                  f"{fft.get('fft_roofline_frac', float('nan')):.2f} of roofline "
+                  f"streaming, {fft.get('fft_bulk_roofline_frac', float('nan')):.2f} bulk)",
         "value": round(value, 1),
         "unit": "samples/s",
         "vs_baseline": round(value / realtime, 2),
@@ -378,9 +408,12 @@ def main():
         "stream_sps": round(stream_sps, 1),
         "snr_db": round(min(snrs), 1) if snrs else None,
         "fft_roofline_frac": round(fft["fft_roofline_frac"], 3) if "fft_roofline_frac" in fft else None,
+        "fft_bulk_roofline_frac": round(fft["fft_bulk_roofline_frac"], 3) if "fft_bulk_roofline_frac" in fft else None,
         "fft_gflops": round(fft["fft_gflops"], 1) if "fft_gflops" in fft else None,
+        "fft_bulk_gflops": round(fft["fft_bulk_gflops"], 1) if "fft_bulk_gflops" in fft else None,
         "fft_gbps": round(fft["fft_gbps"], 1) if "fft_gbps" in fft else None,
         "peak_bw_gbps": round(fft["peak_bw_gbps"], 1) if "peak_bw_gbps" in fft else None,
+        "peak_matmul_tflops": round(fft["peak_matmul_tflops"], 2) if "peak_matmul_tflops" in fft else None,
     }))
 
 

@@ -255,10 +255,11 @@ class EngineConfig:
     overflow_warnings: bool = False
     cli_enabled: bool = False
     cli_port: int = 3000  # default_cfg_cli_port (common.h:23)
-    # streaming compute path: "auto" picks the packed Pallas kernel on TPU
-    # and the complex-dtype jnp path on CPU; force with "complex"/"packed";
-    # "sharded" runs the multi-device ppermute engine (parallel/sharded.py)
-    # over the session's mesh (all visible devices by default)
+    # streaming compute path: "auto" picks the halfcomplex Pallas kernel on
+    # TPU and the complex-dtype jnp path on CPU; force with
+    # "complex"/"packed"/"hc"; "sharded" runs the multi-device ppermute
+    # engine (parallel/sharded.py) over the session's mesh (all visible
+    # devices by default)
     engine_mode: str = "auto"
     # run a known-answer self-check of the exact compiled graph at every
     # coefficient build (engine/selfcheck.py); on failure the session falls
@@ -266,9 +267,9 @@ class EngineConfig:
     self_check: bool = True
 
     def __post_init__(self):
-        if self.engine_mode not in ("auto", "complex", "packed", "sharded"):
+        if self.engine_mode not in ("auto", "complex", "packed", "hc", "sharded"):
             raise ValueError(
-                f"engine_mode must be auto/complex/packed/sharded, got {self.engine_mode!r}")
+                f"engine_mode must be auto/complex/packed/hc/sharded, got {self.engine_mode!r}")
 
 
 # ---------------------------------------------------------------------------

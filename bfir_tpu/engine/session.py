@@ -143,6 +143,11 @@ class StreamProcessor:
 
             new_coeffs = K.pack_coeffs(built.impulse, fspec, self._channels,
                                        scale=built.scale)
+        elif self._impl == "hc":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            new_coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
+                                     scale=built.scale)
         else:
             new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._pending_swap = new_coeffs  # picked up at the next block
@@ -155,7 +160,10 @@ class StreamProcessor:
     def _resolve_engine_mode(self) -> str:
         mode = self.config.engine_mode
         if mode == "auto":
-            return "packed" if jax.default_backend() != "cpu" else "complex"
+            # hc (halfcomplex packed Pallas kernel) is the TPU default: same
+            # outputs as packed with 11% less MAC HBM traffic (TPU-verified
+            # vs scipy at bench scale; see kernels.spectrum_mac.mac_pallas_hc)
+            return "hc" if jax.default_backend() != "cpu" else "complex"
         return mode
 
     def _init_runtime_state(self) -> None:
@@ -164,6 +172,10 @@ class StreamProcessor:
             from bfir_tpu.kernels import spectrum_mac as K
 
             self._state = K.init_packed_state(fspec, self._channels)
+        elif self._impl == "hc":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            self._state = K.init_hc_state(fspec, self._channels)
         elif self._impl == "sharded":
             self._state = self._sharded.init_state()
         else:
@@ -207,7 +219,8 @@ class StreamProcessor:
         # rather than streaming wrong audio (the reference's self-verification
         # philosophy: convolver_verify_cbuf, fftw_convolver.cpp:569-602).
         first = self._resolve_engine_mode()
-        candidates = [first] + (["complex"] if first != "complex" else [])
+        candidates = list(dict.fromkeys(
+            [first] + (["packed"] if first == "hc" else []) + ["complex"]))
         for impl in candidates:
             try:
                 self._build_impl(impl, built, n_channels)
@@ -236,6 +249,7 @@ class StreamProcessor:
         and (unless disabled) run the known-answer self-check through the
         exact production callable."""
         self._impl = impl
+        self._xfade_packed = None  # lazily rebound: it closes over the impl
         fspec = self._runtime_filter_spec
         if impl == "sharded":
             from bfir_tpu.parallel.sharded import ShardedEngine
@@ -261,6 +275,18 @@ class StreamProcessor:
             )
             step_call = self._step_packed
             init_state = lambda: K.init_packed_state(fspec, self._channels)
+        elif impl == "hc":
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            self._coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
+                                       scale=built.scale)
+            interp = jax.default_backend() == "cpu"
+            self._step_packed = jax.jit(
+                lambda s, g, blk: K.step_hc(s, g, blk, interpret=interp),
+                donate_argnums=0,
+            )
+            step_call = self._step_packed
+            init_state = lambda: K.init_hc_state(fspec, self._channels)
         else:
             self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
             step_call = self._step
@@ -338,13 +364,15 @@ class StreamProcessor:
                     if self._impl == "sharded":
                         self._state, out = self._sharded.step_crossfade(
                             self._state, self._coeffs, swap, block)
-                    elif self._impl == "packed":
+                    elif self._impl in ("packed", "hc"):
                         if self._xfade_packed is None:
                             from bfir_tpu.kernels import spectrum_mac as K
 
+                            xf = (K.step_hc_crossfade if self._impl == "hc"
+                                  else K.step_packed_crossfade)
                             interp = jax.default_backend() == "cpu"
                             self._xfade_packed = jax.jit(
-                                lambda s, o, nw, blk: K.step_packed_crossfade(
+                                lambda s, o, nw, blk: xf(
                                     s, o, nw, blk, interpret=interp))
                         self._state, out = self._xfade_packed(
                             self._state, self._coeffs, swap, block)
@@ -352,7 +380,7 @@ class StreamProcessor:
                         self._state, out = self._xfade_step(
                             self._state, self._coeffs, swap, block)
                     self._coeffs = swap
-                elif self._impl == "packed":
+                elif self._impl in ("packed", "hc"):
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
                 elif self._impl == "sharded":
                     self._state, out = self._sharded.step(self._state, self._coeffs, block)
@@ -395,7 +423,7 @@ class StreamProcessor:
         # decided only after (re)initialization: the engine implementation
         # is chosen there, and a queued crossfade needs the block loop
         # (the scan paths handle plain steps only)
-        if self._pending_swap is not None or self._impl == "packed":
+        if self._pending_swap is not None or self._impl in ("packed", "hc"):
             return self._process_locked(frames, sample_rate)
 
         n = self.config.filter.block_length

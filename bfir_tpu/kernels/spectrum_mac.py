@@ -413,6 +413,200 @@ def step_packed_crossfade(
     return PackedState(ring, block, state.blockcounter + 1), out
 
 
+def mac_reference_hc(ring_re, ring_im, coeff_re, coeff_im, pos):
+    """jnp reference of the halfcomplex MAC: lane 0 carries (DC.re, Ny.re)
+    in the (re, im) planes, so its product is two independent *real*
+    multiplies instead of one complex multiply — exactly the bin-0/bin-n/2
+    special case of the reference's halfcomplex MAC loops
+    (/root/reference/brutefir/fftw_convolver.cpp:1429-1525)."""
+    p = ring_re.shape[0]
+    idx = jnp.mod(pos - jnp.arange(p, dtype=jnp.int32), p)
+    rr = jnp.take(ring_re, idx, axis=0)
+    ri = jnp.take(ring_im, idx, axis=0)
+    p1 = coeff_re * rr
+    p2 = coeff_im * ri
+    a_r = p1 - p2
+    a_i = coeff_re * ri + coeff_im * rr
+    a_r = a_r.at[..., 0].set(p1[..., 0])
+    a_i = a_i.at[..., 0].set(p2[..., 0])
+    return jnp.sum(a_r, axis=0), jnp.sum(a_i, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mac_pallas_hc(ring_pk, coeff_pk, pos, interpret: bool = False):
+    """Halfcomplex packed ring MAC: ring/coeff [P, 2C, Hp] (re rows then im
+    rows; lane 0 = (DC.re, Nyquist.re)). With N = 1024 blocks the frequency
+    axis is exactly 1024 lanes — no 1025->1152 tile padding — cutting the
+    MAC's HBM traffic 11.1% vs the full-width split kernels. Lane 0 is
+    fixed up to two real products (see mac_reference_hc). Returns (yr, yi)
+    [C, Hp] halfcomplex planes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    dt = ring_pk.dtype
+
+    def kernel(pos_ref, r, g, yr, yi):
+        i = pl.program_id(0)
+        rr = r[0, :c, :]
+        ri = r[0, c:, :]
+        cr = g[0, :c, :]
+        ci = g[0, c:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        dc = jax.lax.broadcasted_iota(jnp.int32, (c, hp), 1) == 0
+        a_r = jnp.where(dc, p1, p1 - p2)
+        a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, c2, hp), ring_map),
+            pl.BlockSpec((1, c2, hp), coeff_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hp), dt),
+            jax.ShapeDtypeStruct((c, hp), dt),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring_pk, coeff_pk)
+    return yr, yi
+
+
+class HcState(NamedTuple):
+    """Packed halfcomplex streaming state: ring [P, 2C, Hp] (re rows 0..C-1,
+    im rows C..2C-1; lane 0 = (DC.re, Nyquist.re), Hp = n_fft//2 rounded up
+    to the 128-lane tile)."""
+
+    ring: jax.Array
+    prev_block: jax.Array  # [C, N]
+    blockcounter: jax.Array  # int32
+
+
+def init_hc_state(spec: FilterSpec, n_channels: int) -> HcState:
+    hp = _round_up(spec.n_fft // 2, 128)
+    dt = jnp.dtype(spec.dtype)
+    return HcState(
+        ring=jnp.zeros((spec.n_partitions, 2 * n_channels, hp), dtype=dt),
+        prev_block=jnp.zeros((n_channels, spec.block_length), dtype=dt),
+        blockcounter=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def hc_coeffs(impulse, spec: FilterSpec, n_channels: int, scale: float = 1.0):
+    """Partitioned coefficient spectra in packed halfcomplex form
+    [P, 2C, Hp] (broadcast to n_channels)."""
+    h = jnp.asarray(impulse, dtype=spec.dtype) * jnp.asarray(scale, dtype=spec.dtype)
+    if h.ndim == 1:
+        h = h[None, :]
+    c0, taps = h.shape
+    n, p = spec.block_length, spec.n_partitions
+    if taps > n * p:
+        h = h[:, : n * p]
+    else:
+        h = jnp.pad(h, ((0, 0), (0, n * p - taps)))
+    parts = h.reshape(c0, p, n).transpose(1, 0, 2)
+    cr, ci = F.rfft_split_hc(parts, n=spec.n_fft)
+    hp = _round_up(spec.n_fft // 2, 128)
+    pad = hp - cr.shape[-1]
+    cr = jnp.pad(cr, ((0, 0), (0, 0), (0, pad)))
+    ci = jnp.pad(ci, ((0, 0), (0, 0), (0, pad)))
+    if c0 != n_channels:
+        cr = jnp.broadcast_to(cr, (p, n_channels, hp))
+        ci = jnp.broadcast_to(ci, (p, n_channels, hp))
+    return jnp.concatenate([cr, ci], axis=1)
+
+
+def _hc_frame_spectrum(state, block, hp):
+    """rfft of the overlap-save frame, packed halfcomplex [2C, Hp]."""
+    n = block.shape[-1]
+    block = block.astype(state.prev_block.dtype)
+    frame = jnp.concatenate([state.prev_block, block], axis=-1)
+    hr, hi = F.rfft_split_hc(frame)
+    pad = hp - hr.shape[-1]
+    xpk = jnp.concatenate(
+        [jnp.pad(hr, ((0, 0), (0, pad))), jnp.pad(hi, ((0, 0), (0, pad)))],
+        axis=0,
+    )
+    return block, xpk
+
+
+def step_hc(
+    state: HcState,
+    coeff_pk: jax.Array,
+    block: jax.Array,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[HcState, jax.Array]:
+    """One streaming block on the halfcomplex representation; outputs match
+    ``step_split`` to f32 rounding with 11% less MAC HBM traffic."""
+    p, c2, hp = state.ring.shape
+    c = c2 // 2
+    n = block.shape[-1]
+    block, xpk = _hc_frame_spectrum(state, block, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    if use_pallas:
+        yr, yi = mac_pallas_hc(ring, coeff_pk, pos, interpret=interpret)
+    else:
+        yr, yi = mac_reference_hc(ring[:, :c], ring[:, c:],
+                                  coeff_pk[:, :c], coeff_pk[:, c:], pos)
+    out = F.irfft_split_hc(yr, yi, n=2 * n)[..., n:]
+    return HcState(ring, block, state.blockcounter + 1), out
+
+
+def step_hc_crossfade(
+    state: HcState,
+    coeff_old: jax.Array,
+    coeff_new: jax.Array,
+    block: jax.Array,
+    interpret: bool = False,
+) -> Tuple[HcState, jax.Array]:
+    """Glitch-free filter-change block on the halfcomplex path (see
+    step_packed_crossfade; same two-MAC + linear-ramp law,
+    fftw_convolver.cpp:275-321)."""
+    p, c2, hp = state.ring.shape
+    n = block.shape[-1]
+    block, xpk = _hc_frame_spectrum(state, block, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    yr_o, yi_o = mac_pallas_hc(ring, coeff_old, pos, interpret=interpret)
+    yr_n, yi_n = mac_pallas_hc(ring, coeff_new, pos, interpret=interpret)
+    out_old = F.irfft_split_hc(yr_o, yi_o, n=2 * n)[..., n:]
+    out_new = F.irfft_split_hc(yr_n, yi_n, n=2 * n)[..., n:]
+    ramp = jnp.arange(n, dtype=out_old.dtype) / (n - 1)
+    out = out_old * (1.0 - ramp) + out_new * ramp
+    return HcState(ring, block, state.blockcounter + 1), out
+
+
 class DoubledState(NamedTuple):
     """Packed state with the ring doubled ([2P, 2C, Fp], slot s mirrored at
     s+P) for the chunked-DMA kernel."""

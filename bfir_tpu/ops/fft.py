@@ -711,6 +711,53 @@ def irfft_tail(y: jax.Array, n: Optional[int] = None) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Halfcomplex split planes: FFTW's r2r "halfcomplex" idea on the split API.
+#
+# A real-input spectrum has imag(X[0]) = imag(X[n/2]) = 0, so the Nyquist
+# bin's real part can ride in the DC bin's imaginary lane and the planes
+# shrink from n/2+1 to exactly n/2 lanes. For the engine's n = 2048 that
+# turns the MAC's frequency axis from 1025 (padded to 1152 for the TPU's
+# 128-lane tiling) into exactly 1024 — an 11.1% HBM-traffic cut on the
+# streaming hot loop's dominant arrays (ring + coeff planes). The reference
+# gets the same effect from FFTW's halfcomplex r2r format
+# (/root/reference/brutefir/fftw_convolver.cpp:76-79: rfftw-style plans;
+# its MAC special-cases bins 0 and n/2 exactly like kernels.spectrum_mac's
+# hc kernels do).
+#
+# These wrappers reuse the TPU-verified full-width transforms and repack at
+# the (tiny) [C, F] boundary; the big [P, C, F] arrays live in hc form.
+# ---------------------------------------------------------------------------
+
+
+def rfft_split_hc(x: jax.Array, n: Optional[int] = None):
+    """rfft over the last axis -> halfcomplex split planes [..., n//2].
+
+    Lane 0 of the re plane is X[0].re; lane 0 of the im plane is X[n/2].re.
+    """
+    m = n or x.shape[-1]
+    xr, xi = rfft_split(x, n=m)
+    h = m // 2
+    hr = xr[..., :h]
+    hi = jnp.concatenate([xr[..., h : h + 1], xi[..., 1:h]], axis=-1)
+    return hr, hi
+
+
+def irfft_split_hc(hr: jax.Array, hi: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """Inverse rfft from halfcomplex split planes -> real [..., n].
+
+    Accepts lane-padded planes (width >= n//2; extra lanes ignored).
+    """
+    m = n or 2 * hr.shape[-1]
+    h = m // 2
+    hr = hr[..., :h]
+    hi = hi[..., :h]
+    zero = jnp.zeros_like(hr[..., :1])
+    yr = jnp.concatenate([hr, hi[..., :1]], axis=-1)
+    yi = jnp.concatenate([zero, hi[..., 1:], zero], axis=-1)
+    return irfft_split(yr, yi, n=m)
+
+
+# ---------------------------------------------------------------------------
 # Complex-dtype compatibility helpers.
 #
 # The axon TPU backend supports complex *compute* on device but not complex

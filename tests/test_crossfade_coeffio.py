@@ -129,6 +129,38 @@ def test_session_reconfigure_crossfades_packed(tmp_path):
     assert np.all(np.diff(seq) <= 1e-4)  # glitch-free monotone fade
 
 
+def test_session_reconfigure_crossfades_hc(tmp_path):
+    """Crossfade semantics on the halfcomplex engine path (the TPU auto
+    default) — glitch-free live reconfigure."""
+    import dataclasses
+
+    from tests.test_engine import make_config, save_impulse
+    from bfir_tpu.engine.cache import ArtifactCache
+    from bfir_tpu.engine.session import StreamProcessor
+
+    h1 = np.zeros((2, 8)); h1[:, 0] = 1.0
+    h2 = np.zeros((2, 8)); h2[:, 0] = 0.25
+    p1 = save_impulse(tmp_path, "a.wav", h1)
+    p2 = save_impulse(tmp_path, "b.wav", h2)
+    cache = ArtifactCache(str(tmp_path / "c"))
+    mk = lambda p: dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="hc")
+    sp = StreamProcessor(mk(p1), cache)
+    x = np.ones((2, 256), dtype=np.float32)
+    y1 = sp.process(x)
+    assert sp._impl == "hc"
+    np.testing.assert_allclose(y1, 1.0, atol=1e-5)
+    sp.reconfigure(mk(p2))
+    assert sp._pending_swap is not None, "hc path must crossfade, not rebuild"
+    y2 = sp.process(x)
+    assert abs(y2[0, 0] - 1.0) < 1e-4
+    y3 = sp.process(x)
+    np.testing.assert_allclose(y3, 0.25, atol=1e-5)
+    seq = np.concatenate([y2[0], y3[0]])
+    assert np.all(np.diff(seq) <= 1e-4)  # glitch-free monotone fade
+
+
 def test_step_packed_crossfade_matches_complex():
     """Packed crossfade block == complex crossfade block to fp tolerance."""
     from bfir_tpu.kernels import spectrum_mac as K

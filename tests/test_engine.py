@@ -273,6 +273,25 @@ def test_session_packed_engine_mode(cache, tmp_path):
     assert y2.shape == (2, 512)
 
 
+def test_session_hc_engine_mode(cache, tmp_path):
+    import dataclasses
+
+    rng = np.random.default_rng(21)
+    h = rng.standard_normal((2, 300)) * 0.05
+    p = save_impulse(tmp_path, "hh.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="hc")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 1024))
+    y = sp.process(x)
+    assert sp._impl == "hc"
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+    # process_buffer falls back to the block loop on hc engines
+    y2 = sp.process_buffer(rng.standard_normal((2, 512)))
+    assert y2.shape == (2, 512)
+
+
 def test_engine_mode_validation():
     import dataclasses
     import pytest as _pytest

@@ -138,6 +138,101 @@ def test_chunk_reverse_coeffs():
     np.testing.assert_array_equal(y[4], x[7])
 
 
+def test_rfft_irfft_split_hc_roundtrip():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3, 2048))
+    F.set_mode("matmul")
+    try:
+        hr, hi = F.rfft_split_hc(x)
+        assert hr.shape[-1] == 1024 and hi.shape[-1] == 1024
+        y = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(np.asarray(hr[..., 0]), y[..., 0].real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(hi[..., 0]), y[..., -1].real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(hr[..., 1:]), y[..., 1:1024].real, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(hi[..., 1:]), y[..., 1:1024].imag, atol=1e-9)
+        back = F.irfft_split_hc(hr, hi, n=2048)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
+        # padded planes accepted (engine stores lane-rounded arrays)
+        import jax.numpy as jnp
+
+        back2 = F.irfft_split_hc(jnp.pad(hr, ((0, 0), (0, 64))),
+                                 jnp.pad(hi, ((0, 0), (0, 64))), n=2048)
+        np.testing.assert_allclose(np.asarray(back2), x, atol=1e-10)
+    finally:
+        F.set_mode("auto")
+
+
+@pytest.mark.parametrize("pos", [0, 3, 7])
+def test_mac_pallas_hc_interpret_matches_reference(pos):
+    rng = np.random.default_rng(10)
+    p, c, hp = 8, 4, 128
+    ring = rng.standard_normal((p, 2 * c, hp)).astype(np.float32)
+    coef = rng.standard_normal((p, 2 * c, hp)).astype(np.float32)
+    import jax.numpy as jnp
+
+    yr, yi = K.mac_pallas_hc(ring, coef, jnp.int32(pos), interpret=True)
+    yr2, yi2 = K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                                  coef[:, :c], coef[:, c:], jnp.int32(pos))
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yr2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yi), np.asarray(yi2), atol=1e-4)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_step_hc_matches_split_and_scipy(use_pallas):
+    rng = np.random.default_rng(11)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    c = 2
+    h = rng.standard_normal((c, 450)) * 0.1
+    x = rng.standard_normal((c, 128 * 8))
+
+    s1 = K.init_split_state(spec, c)
+    cr, ci = K.split_coeffs(h, spec)
+    s2 = K.init_hc_state(spec, c)
+    chc = K.hc_coeffs(h, spec, c)
+    assert chc.shape == (4, 2 * c, 128)  # n_fft//2 = 128: no pad at all
+
+    outs = []
+    for b in range(8):
+        blk = x[:, b * 128 : (b + 1) * 128]
+        s1, o1 = K.step_split(s1, cr, ci, blk, use_pallas=False)
+        s2, o2 = K.step_hc(s2, chc, blk, use_pallas=use_pallas, interpret=True)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-10)
+        outs.append(np.asarray(o2))
+    y = np.concatenate(outs, axis=1)
+    ref = np.stack([signal.fftconvolve(x[i], h[i])[: x.shape[-1]] for i in range(c)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+
+
+def test_step_hc_crossfade_matches_packed():
+    rng = np.random.default_rng(13)
+    spec = FilterSpec(block_length=128, n_partitions=4, dtype="float64")
+    c = 2
+    h_old = rng.standard_normal((c, 400)) * 0.1
+    h_new = rng.standard_normal((c, 400)) * 0.1
+    x = rng.standard_normal((c, 128 * 5))
+
+    sp = K.init_packed_state(spec, c)
+    pk_old = K.pack_coeffs(h_old, spec, c)
+    pk_new = K.pack_coeffs(h_new, spec, c)
+    sh = K.init_hc_state(spec, c)
+    hc_old = K.hc_coeffs(h_old, spec, c)
+    hc_new = K.hc_coeffs(h_new, spec, c)
+
+    for b in range(3):
+        blk = x[:, b * 128 : (b + 1) * 128]
+        sp, op = K.step_packed(sp, pk_old, blk, interpret=True)
+        sh, oh = K.step_hc(sh, hc_old, blk, interpret=True)
+        np.testing.assert_allclose(np.asarray(oh), np.asarray(op), atol=1e-10)
+    blk = x[:, 3 * 128 : 4 * 128]
+    sp, op = K.step_packed_crossfade(sp, pk_old, pk_new, blk, interpret=True)
+    sh, oh = K.step_hc_crossfade(sh, hc_old, hc_new, blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(oh), np.asarray(op), atol=1e-10)
+    blk = x[:, 4 * 128 : 5 * 128]
+    sp, op = K.step_packed(sp, pk_new, blk, interpret=True)
+    sh, oh = K.step_hc(sh, hc_new, blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(oh), np.asarray(op), atol=1e-10)
+
+
 def test_dither_pallas_matches_scan():
     from bfir_tpu.ops import dither as dth
 
