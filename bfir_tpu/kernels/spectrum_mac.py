@@ -563,9 +563,15 @@ def step_hc(
     block: jax.Array,
     interpret: bool = False,
     use_pallas: bool = True,
+    tail_direct: bool = True,
 ) -> Tuple[HcState, jax.Array]:
     """One streaming block on the halfcomplex representation; outputs match
-    ``step_split`` to f32 rounding with 11% less MAC HBM traffic."""
+    ``step_split`` to f32 rounding with 11% less MAC HBM traffic.
+
+    ``tail_direct`` renders the overlap-save tail with the single-matmul
+    half-DFT basis (ops.fft.irfft_hc_tail) instead of the four-step inverse
+    + slice — one full-width MXU contraction in place of a chain of small
+    stages."""
     p, c2, hp = state.ring.shape
     c = c2 // 2
     n = block.shape[-1]
@@ -578,7 +584,10 @@ def step_hc(
     else:
         yr, yi = mac_reference_hc(ring[:, :c], ring[:, c:],
                                   coeff_pk[:, :c], coeff_pk[:, c:], pos)
-    out = F.irfft_split_hc(yr, yi, n=2 * n)[..., n:]
+    if tail_direct:
+        out = F.irfft_hc_tail(yr, yi, n=2 * n)
+    else:
+        out = F.irfft_split_hc(yr, yi, n=2 * n)[..., n:]
     return HcState(ring, block, state.blockcounter + 1), out
 
 
@@ -600,8 +609,8 @@ def step_hc_crossfade(
     ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
     yr_o, yi_o = mac_pallas_hc(ring, coeff_old, pos, interpret=interpret)
     yr_n, yi_n = mac_pallas_hc(ring, coeff_new, pos, interpret=interpret)
-    out_old = F.irfft_split_hc(yr_o, yi_o, n=2 * n)[..., n:]
-    out_new = F.irfft_split_hc(yr_n, yi_n, n=2 * n)[..., n:]
+    out_old = F.irfft_hc_tail(yr_o, yi_o, n=2 * n)
+    out_new = F.irfft_hc_tail(yr_n, yi_n, n=2 * n)
     ramp = jnp.arange(n, dtype=out_old.dtype) / (n - 1)
     out = out_old * (1.0 - ramp) + out_new * ramp
     return HcState(ring, block, state.blockcounter + 1), out

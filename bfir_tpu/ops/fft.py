@@ -757,6 +757,51 @@ def irfft_split_hc(hr: jax.Array, hi: jax.Array, n: Optional[int] = None) -> jax
     return irfft_split(yr, yi, n=m)
 
 
+@functools.lru_cache(maxsize=16)
+def _hc_tail_weights(m: int, dtype: str):
+    """Direct half-DFT basis: halfcomplex planes [h] -> irfft(m) tail
+    samples [m/2, m). Row k of (Wr, Wi) is the contribution of
+    (hr[k], hi[k]); lane 0 carries (DC, Nyquist):
+
+      x[t] = (1/m) [ X0 + Xny (-1)^t
+                     + 2 sum_{k=1}^{h-1} (hr_k cos(2pi k t/m)
+                                          - hi_k sin(2pi k t/m)) ]
+    """
+    h = m // 2
+    t = np.arange(h, m)[None, :]  # output samples (the overlap-save tail)
+    k = np.arange(h)[:, None]
+    ang = 2.0 * np.pi * k * t / m
+    wr = (2.0 / m) * np.cos(ang)
+    wr[0, :] = 1.0 / m  # DC row (no doubling)
+    wi = -(2.0 / m) * np.sin(ang)
+    wi[0, :] = ((-1.0) ** t[0]) / m  # Nyquist rides lane 0 of the im plane
+    return wr.astype(dtype), wi.astype(dtype)
+
+
+def irfft_hc_tail(hr: jax.Array, hi: jax.Array, n: Optional[int] = None) -> jax.Array:
+    """``irfft_split_hc(hr, hi, n)[..., n//2:]`` as ONE pair of dense MXU
+    matmuls ([.., h] @ [h, h]) against the precomputed half-DFT tail basis.
+
+    The overlap-save engine only keeps the upper half of every inverse
+    transform (reference: the cbuf tail copy, fftw_convolver.cpp:405-466);
+    expressing exactly that as a single matmul halves the inverse-transform
+    work and replaces the four-step's chain of small (MXU-underfilling)
+    stages with one full-width contraction. Unlike the quarantined
+    k2-restricted four-step variants (irfft_split_tail — miscompiles on the
+    axon backend when engine-wired), this is a plain 2D matmul.
+    Lane-padded inputs accepted (extra lanes ignored).
+    """
+    m = n or 2 * hr.shape[-1]
+    h = m // 2
+    hr = hr[..., :h]
+    hi = hi[..., :h]
+    wr, wi = _hc_tail_weights(m, hr.dtype.name)
+    return (
+        jnp.matmul(hr, jnp.asarray(wr), precision=_MATMUL_PRECISION)
+        + jnp.matmul(hi, jnp.asarray(wi), precision=_MATMUL_PRECISION)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Complex-dtype compatibility helpers.
 #

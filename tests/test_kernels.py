@@ -162,6 +162,22 @@ def test_rfft_irfft_split_hc_roundtrip():
         F.set_mode("auto")
 
 
+def test_irfft_hc_tail_matches_full():
+    rng = np.random.default_rng(15)
+    for m in (256, 2048):
+        hr = rng.standard_normal((3, m // 2))
+        hi = rng.standard_normal((3, m // 2))
+        full = np.asarray(F.irfft_split_hc(hr, hi, n=m))
+        tail = np.asarray(F.irfft_hc_tail(hr, hi, n=m))
+        np.testing.assert_allclose(tail, full[..., m // 2:], atol=1e-10)
+    # lane-padded input accepted
+    import jax.numpy as jnp
+
+    t2 = np.asarray(F.irfft_hc_tail(jnp.pad(hr, ((0, 0), (0, 64))),
+                                    jnp.pad(hi, ((0, 0), (0, 64))), n=2048))
+    np.testing.assert_allclose(t2, tail, atol=1e-12)
+
+
 @pytest.mark.parametrize("pos", [0, 3, 7])
 def test_mac_pallas_hc_interpret_matches_reference(pos):
     rng = np.random.default_rng(10)
