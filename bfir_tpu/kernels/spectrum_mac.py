@@ -499,6 +499,91 @@ def mac_pallas_hc(ring_pk, coeff_pk, pos, interpret: bool = False):
     return yr, yi
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mac_tail_pallas_hc(ring_pk, coeff_pk, wr, wi, pos, interpret: bool = False):
+    """Fused halfcomplex ring MAC + overlap-save tail render in ONE kernel.
+
+    Same MAC as ``mac_pallas_hc``; the final grid step multiplies the VMEM
+    accumulator against the resident half-DFT tail basis (``wr``/``wi`` from
+    ops.fft._hc_tail_weights, transposed to [H, H]) on the MXU and writes
+    the time-domain tail [C, H] directly — the spectrum accumulator never
+    round-trips HBM and the inverse transform overlaps the MAC's DMA wall
+    (the MXU is idle during the BW-bound MAC steps; the basis is DMA'd once
+    at step 0 alongside them). This is hot-loop steps 3-5 of the reference
+    (convolve/convolve_add + freq2time, brutefir.cpp:279-333) as one
+    dispatch. Returns out [C, H] real.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    dt = ring_pk.dtype
+
+    def kernel(pos_ref, r, g, wr_ref, wi_ref, out, accr, acci):
+        i = pl.program_id(0)
+        rr = r[0, :c, :]
+        ri = r[0, c:, :]
+        cr = g[0, :c, :]
+        ci = g[0, c:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        dc = jax.lax.broadcasted_iota(jnp.int32, (c, hp), 1) == 0
+        a_r = jnp.where(dc, p1, p1 - p2)
+        a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+
+        @pl.when(i == 0)
+        def _():
+            accr[:] = a_r
+            acci[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            accr[:] = accr[:] + a_r
+            acci[:] = acci[:] + a_i
+
+        @pl.when(i == p - 1)
+        def _():
+            out[:] = jax.lax.dot_general(
+                accr[:], wr_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + jax.lax.dot_general(
+                acci[:], wi_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, c2, hp), ring_map),
+            pl.BlockSpec((1, c2, hp), coeff_map),
+            pl.BlockSpec((hp, hp), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((hp, hp), lambda i, pos_ref: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((c, hp), dt),
+            pltpu.VMEM((c, hp), dt),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, hp), dt),
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring_pk, coeff_pk, wr, wi)
+    return out
+
+
 class HcState(NamedTuple):
     """Packed halfcomplex streaming state: ring [P, 2C, Hp] (re rows 0..C-1,
     im rows C..2C-1; lane 0 = (DC.re, Nyquist.re), Hp = n_fft//2 rounded up
@@ -589,6 +674,37 @@ def step_hc(
     else:
         out = F.irfft_split_hc(yr, yi, n=2 * n)[..., n:]
     return HcState(ring, block, state.blockcounter + 1), out
+
+
+def _tail_basis(n: int, hp: int, dtype) -> Tuple[jax.Array, jax.Array]:
+    """Half-DFT tail basis padded to the lane-rounded [hp, hp]."""
+    wr, wi = F._hc_tail_weights(2 * n, jnp.dtype(dtype).name)
+    h = wr.shape[0]
+    if hp != h:
+        wr = np.pad(wr, ((0, hp - h), (0, hp - h)))
+        wi = np.pad(wi, ((0, hp - h), (0, hp - h)))
+    return jnp.asarray(wr), jnp.asarray(wi)
+
+
+def step_hc_fused(
+    state: HcState,
+    coeff_pk: jax.Array,
+    block: jax.Array,
+    interpret: bool = False,
+) -> Tuple[HcState, jax.Array]:
+    """One streaming block with the fused MAC+tail kernel
+    (``mac_tail_pallas_hc``): the partition MAC and the inverse-transform
+    tail run in one Pallas dispatch; only the forward transform and the
+    ring-slot insert remain XLA-side. Outputs match ``step_hc``."""
+    p, c2, hp = state.ring.shape
+    n = block.shape[-1]
+    block, xpk = _hc_frame_spectrum(state, block, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    wr, wi = _tail_basis(n, hp, state.ring.dtype)
+    out = mac_tail_pallas_hc(ring, coeff_pk, wr, wi, pos, interpret=interpret)
+    return HcState(ring, block, state.blockcounter + 1), out[..., :n]
 
 
 def step_hc_crossfade(
