@@ -38,16 +38,40 @@ Pair = Tuple[jax.Array, jax.Array]
 _SPLIT_C = 4097.0  # 2^12 + 1: Veltkamp splitter for f32 (24-bit mantissa)
 
 
+def _nofuse(x):
+    """Pin an EFT-critical intermediate to its IEEE-rounded f32 value.
+
+    Error-free transformations depend on specific intermediates being
+    rounded exactly once. The XLA CPU backend breaks that in two ways
+    (both measured here, see tests):
+    - LLVM FMA-contracts ``mul`` feeding ``add`` within a fusion, so
+      ``s = p + e`` with ``p = a*b`` becomes ``fma(a, b, e)`` — p's
+      rounding never happens and the compensation term inherits an
+      O(ulp(p)) error;
+    - ``lax.optimization_barrier`` and identity ``reduce_precision`` are
+      both elided before fusion, so neither blocks it.
+    A NaN-guarded select does survive: ``where(x == x, x, x + x)`` is an
+    identity (and still propagates NaN), but the compiler cannot prove the
+    branches equal or see the mul through the select. VPU cost: one
+    compare + one select per pinned value — noise next to the transforms'
+    mul/add stream."""
+    return jnp.where(x == x, x, x + x)
+
+
 def two_sum(a, b) -> Pair:
     """s + err == a + b exactly (Knuth; no magnitude precondition)."""
+    a = _nofuse(a)
+    b = _nofuse(b)
     s = a + b
-    bb = s - a
+    bb = _nofuse(s - a)
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
 def quick_two_sum(a, b) -> Pair:
     """s + err == a + b exactly, REQUIRES |a| >= |b| (or a == 0)."""
+    a = _nofuse(a)
+    b = _nofuse(b)
     s = a + b
     err = b - (s - a)
     return s, err
@@ -55,14 +79,14 @@ def quick_two_sum(a, b) -> Pair:
 
 def _split(a) -> Pair:
     """Veltkamp split: a == hi + lo with both halves 12-bit exact."""
-    t = _SPLIT_C * a
-    hi = t - (t - a)
+    t = _nofuse(_SPLIT_C * a)
+    hi = _nofuse(t - (t - a))
     return hi, a - hi
 
 
 def two_prod(a, b) -> Pair:
     """p + err == a * b exactly (Dekker, FMA-free)."""
-    p = a * b
+    p = _nofuse(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -98,8 +122,10 @@ def df_mul(x: Pair, y: Pair) -> Pair:
 
 
 def df_scale(x: Pair, s: float) -> Pair:
-    """Multiply by an exactly-representable f32 scalar (e.g. 0.5, 2.0)."""
-    return x[0] * np.float32(s), x[1] * np.float32(s)
+    """Multiply by an exactly-representable f32 scalar (e.g. 0.5, 2.0).
+    Outputs are pinned: they are raw muls that would otherwise FMA-contract
+    into downstream EFT adds (see _nofuse)."""
+    return _nofuse(x[0] * np.float32(s)), _nofuse(x[1] * np.float32(s))
 
 
 def df_round(x: Pair) -> jax.Array:
