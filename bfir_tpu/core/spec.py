@@ -256,10 +256,13 @@ class EngineConfig:
     cli_enabled: bool = False
     cli_port: int = 3000  # default_cfg_cli_port (common.h:23)
     # streaming compute path: "auto" picks the halfcomplex Pallas kernel on
-    # TPU and the complex-dtype jnp path on CPU; force with
-    # "complex"/"packed"/"hc"; "sharded" runs the multi-device ppermute
-    # engine (parallel/sharded.py) over the session's mesh (all visible
-    # devices by default)
+    # TPU and the complex-dtype jnp path on CPU — except for float64
+    # requests on f64-less backends, where it picks "extended" (df64
+    # two-float arithmetic, kernels/extended.py: the honest REALSIZE=8
+    # parity on an f32-only chip). Force with
+    # "complex"/"packed"/"hc"/"extended"; "sharded" runs the multi-device
+    # ppermute engine (parallel/sharded.py) over the session's mesh (all
+    # visible devices by default)
     engine_mode: str = "auto"
     # run a known-answer self-check of the exact compiled graph at every
     # coefficient build (engine/selfcheck.py); on failure the session falls
@@ -267,9 +270,11 @@ class EngineConfig:
     self_check: bool = True
 
     def __post_init__(self):
-        if self.engine_mode not in ("auto", "complex", "packed", "hc", "sharded"):
+        if self.engine_mode not in ("auto", "complex", "packed", "hc",
+                                    "extended", "sharded"):
             raise ValueError(
-                f"engine_mode must be auto/complex/packed/hc/sharded, got {self.engine_mode!r}")
+                "engine_mode must be auto/complex/packed/hc/extended/sharded, "
+                f"got {self.engine_mode!r}")
 
 
 # ---------------------------------------------------------------------------

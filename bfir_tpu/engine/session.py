@@ -147,6 +147,12 @@ class StreamProcessor:
             from bfir_tpu.kernels import spectrum_mac as K
 
             new_coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
+                                     scale=built.scale,
+                                     precise=config.filter.dtype == "float64")
+        elif self._impl == "extended":
+            from bfir_tpu.kernels import extended as E
+
+            new_coeffs = E.df_coeffs(built.impulse, fspec, self._channels,
                                      scale=built.scale)
         else:
             new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
@@ -160,6 +166,13 @@ class StreamProcessor:
     def _resolve_engine_mode(self) -> str:
         mode = self.config.engine_mode
         if mode == "auto":
+            if (self.config.filter.dtype == "float64"
+                    and not jax.config.jax_enable_x64):
+                # the reference plugin is REALSIZE=8 (double,
+                # foo_dsp_bfir/common.h:17); on an f64-less backend the
+                # honest way to honor that request is df64 two-float
+                # arithmetic (kernels/extended.py), not silent f32
+                return "extended"
             # hc (halfcomplex packed Pallas kernel) is the TPU default: same
             # outputs as packed with 11% less MAC HBM traffic (TPU-verified
             # vs scipy at bench scale; see kernels.spectrum_mac.mac_pallas_hc)
@@ -176,6 +189,10 @@ class StreamProcessor:
             from bfir_tpu.kernels import spectrum_mac as K
 
             self._state = K.init_hc_state(fspec, self._channels)
+        elif self._impl == "extended":
+            from bfir_tpu.kernels import extended as E
+
+            self._state = E.init_df_state(fspec, self._channels)
         elif self._impl == "sharded":
             self._state = self._sharded.init_state()
         else:
@@ -219,8 +236,9 @@ class StreamProcessor:
         # rather than streaming wrong audio (the reference's self-verification
         # philosophy: convolver_verify_cbuf, fftw_convolver.cpp:569-602).
         first = self._resolve_engine_mode()
+        chain = {"extended": ["hc", "packed"], "hc": ["packed"]}
         candidates = list(dict.fromkeys(
-            [first] + (["packed"] if first == "hc" else []) + ["complex"]))
+            [first] + chain.get(first, []) + ["complex"]))
         for impl in candidates:
             try:
                 self._build_impl(impl, built, n_channels)
@@ -278,8 +296,11 @@ class StreamProcessor:
         elif impl == "hc":
             from bfir_tpu.kernels import spectrum_mac as K
 
+            # float64 configs get precise (host-f64) coefficient spectra:
+            # build-time only cost, ~9 dB of streaming SNR (hc_coeffs doc)
+            precise = self.config.filter.dtype == "float64"
             self._coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
-                                       scale=built.scale)
+                                       scale=built.scale, precise=precise)
             interp = jax.default_backend() == "cpu"
             self._step_packed = jax.jit(
                 lambda s, g, blk: K.step_hc(s, g, blk, interpret=interp),
@@ -287,6 +308,19 @@ class StreamProcessor:
             )
             step_call = self._step_packed
             init_state = lambda: K.init_hc_state(fspec, self._channels)
+        elif impl == "extended":
+            from bfir_tpu.kernels import extended as E
+
+            pinfo("Engine precision: extended (df64 two-float, f64-class "
+                  "on an f32 backend).")
+            self._coeffs = E.df_coeffs(built.impulse, fspec, self._channels,
+                                       scale=built.scale)
+            self._step_packed = jax.jit(
+                lambda s, g, blk: E.step_df(s, g[0], g[1], blk),
+                donate_argnums=0,
+            )
+            step_call = self._step_packed
+            init_state = lambda: E.init_df_state(fspec, self._channels)
         else:
             self._coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
             step_call = self._step
@@ -364,23 +398,28 @@ class StreamProcessor:
                     if self._impl == "sharded":
                         self._state, out = self._sharded.step_crossfade(
                             self._state, self._coeffs, swap, block)
-                    elif self._impl in ("packed", "hc"):
+                    elif self._impl in ("packed", "hc", "extended"):
                         if self._xfade_packed is None:
-                            from bfir_tpu.kernels import spectrum_mac as K
+                            if self._impl == "extended":
+                                from bfir_tpu.kernels import extended as E
 
-                            xf = (K.step_hc_crossfade if self._impl == "hc"
-                                  else K.step_packed_crossfade)
-                            interp = jax.default_backend() == "cpu"
-                            self._xfade_packed = jax.jit(
-                                lambda s, o, nw, blk: xf(
-                                    s, o, nw, blk, interpret=interp))
+                                self._xfade_packed = jax.jit(E.step_df_crossfade)
+                            else:
+                                from bfir_tpu.kernels import spectrum_mac as K
+
+                                xf = (K.step_hc_crossfade if self._impl == "hc"
+                                      else K.step_packed_crossfade)
+                                interp = jax.default_backend() == "cpu"
+                                self._xfade_packed = jax.jit(
+                                    lambda s, o, nw, blk: xf(
+                                        s, o, nw, blk, interpret=interp))
                         self._state, out = self._xfade_packed(
                             self._state, self._coeffs, swap, block)
                     else:
                         self._state, out = self._xfade_step(
                             self._state, self._coeffs, swap, block)
                     self._coeffs = swap
-                elif self._impl in ("packed", "hc"):
+                elif self._impl in ("packed", "hc", "extended"):
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
                 elif self._impl == "sharded":
                     self._state, out = self._sharded.step(self._state, self._coeffs, block)
@@ -423,7 +462,8 @@ class StreamProcessor:
         # decided only after (re)initialization: the engine implementation
         # is chosen there, and a queued crossfade needs the block loop
         # (the scan paths handle plain steps only)
-        if self._pending_swap is not None or self._impl in ("packed", "hc"):
+        if (self._pending_swap is not None
+                or self._impl in ("packed", "hc", "extended")):
             return self._process_locked(frames, sample_rate)
 
         n = self.config.filter.block_length

@@ -604,21 +604,54 @@ def init_hc_state(spec: FilterSpec, n_channels: int) -> HcState:
     )
 
 
-def hc_coeffs(impulse, spec: FilterSpec, n_channels: int, scale: float = 1.0):
+def hc_coeffs(impulse, spec: FilterSpec, n_channels: int, scale: float = 1.0,
+              precise: bool = False):
     """Partitioned coefficient spectra in packed halfcomplex form
-    [P, 2C, Hp] (broadcast to n_channels)."""
+    [P, 2C, Hp] (broadcast to n_channels).
+
+    ``precise``: compute the partition FFTs on the host in float64 (numpy)
+    and round once to the engine dtype. Coefficients are built once per
+    configuration, and the measured f32 error budget (CLAUDE.md) shows
+    f32-computed coefficient spectra cost ~9 dB of streaming SNR even when
+    the stored planes are f32 — this recovers that at build time only. The
+    reference computes its coefficient spectra at its engine precision
+    (REALSIZE=8 on the plugin path, convolver_coeffs2cbuf,
+    fftw_convolver.cpp:474-537), so precise=True is the parity behavior
+    for dtype float64 requests on f32-only backends."""
+    n, p = spec.block_length, spec.n_partitions
+    hp = _round_up(spec.n_fft // 2, 128)
+    if precise:
+        h64 = np.asarray(impulse, dtype=np.float64) * float(scale)
+        if h64.ndim == 1:
+            h64 = h64[None, :]
+        c0, taps = h64.shape
+        if taps > n * p:
+            h64 = h64[:, : n * p]
+        else:
+            h64 = np.pad(h64, ((0, 0), (0, n * p - taps)))
+        parts = h64.reshape(c0, p, n).transpose(1, 0, 2)
+        spec64 = np.fft.rfft(parts, n=spec.n_fft, axis=-1)
+        half = spec.n_fft // 2
+        cr = spec64.real[..., :half]
+        ci = np.concatenate([spec64.real[..., half:half + 1],
+                             spec64.imag[..., 1:half]], axis=-1)
+        dt = np.float32 if spec.dtype == "float32" else np.float64
+        cr = np.pad(cr, ((0, 0), (0, 0), (0, hp - half))).astype(dt)
+        ci = np.pad(ci, ((0, 0), (0, 0), (0, hp - half))).astype(dt)
+        if c0 != n_channels:
+            cr = np.broadcast_to(cr, (p, n_channels, hp))
+            ci = np.broadcast_to(ci, (p, n_channels, hp))
+        return jnp.asarray(np.concatenate([cr, ci], axis=1))
     h = jnp.asarray(impulse, dtype=spec.dtype) * jnp.asarray(scale, dtype=spec.dtype)
     if h.ndim == 1:
         h = h[None, :]
     c0, taps = h.shape
-    n, p = spec.block_length, spec.n_partitions
     if taps > n * p:
         h = h[:, : n * p]
     else:
         h = jnp.pad(h, ((0, 0), (0, n * p - taps)))
     parts = h.reshape(c0, p, n).transpose(1, 0, 2)
     cr, ci = F.rfft_split_hc(parts, n=spec.n_fft)
-    hp = _round_up(spec.n_fft // 2, 128)
     pad = hp - cr.shape[-1]
     cr = jnp.pad(cr, ((0, 0), (0, 0), (0, pad)))
     ci = jnp.pad(ci, ((0, 0), (0, 0), (0, pad)))

@@ -292,6 +292,31 @@ def test_session_hc_engine_mode(cache, tmp_path):
     assert y2.shape == (2, 512)
 
 
+def test_session_extended_engine_mode(cache, tmp_path):
+    import dataclasses
+
+    rng = np.random.default_rng(23)
+    h = rng.standard_normal((2, 300)) * 0.05
+    p = save_impulse(tmp_path, "he.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="extended")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 1024))
+    y = sp.process(x)
+    assert sp._impl == "extended"
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
+    # df64 path: f64-class accuracy, far tighter than the f32 paths' 1e-9
+    np.testing.assert_allclose(y, ref, atol=1e-11)
+    # crossfade reconfigure stays glitch-free on the extended path
+    h2 = h * 0.5
+    p2 = save_impulse(tmp_path, "he2.wav", h2)
+    sp.reconfigure(dataclasses.replace(
+        make_config(tmp_path, files=[(p2, 0, False)]), engine_mode="extended"))
+    assert sp._pending_swap is not None, "extended path must crossfade"
+    y2 = sp.process(x)
+    assert y2.shape == x.shape
+
+
 def test_engine_mode_validation():
     import dataclasses
     import pytest as _pytest
