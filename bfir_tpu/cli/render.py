@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", type=int, metavar="PORT", default=None,
                    help="run the TCP control server on PORT during rendering "
                         "(same protocol as the reference plugin)")
+    p.add_argument("--engine-mode",
+                   choices=["auto", "complex", "packed", "hc", "extended",
+                            "sharded"],
+                   default="auto",
+                   help="compute path (default auto: halfcomplex Pallas on "
+                        "TPU, complex jnp on CPU, df64 'extended' for "
+                        "float64 on f64-less backends)")
     return p
 
 
@@ -86,6 +93,7 @@ def config_from_args(args) -> EngineConfig:
         filter=FilterSpec(block_length=args.block, n_partitions=1, dtype=args.dtype),
         stream=StreamSpec(out_format=out_fmt, apply_dither=args.dither),
         chain=ChainSpec(eq=eq, files=tuple(files)),
+        engine_mode=getattr(args, "engine_mode", "auto"),
     )
 
 
