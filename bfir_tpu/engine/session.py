@@ -342,8 +342,9 @@ class StreamProcessor:
         than jax's silent truncation + per-op warning spam."""
         dtype = self.config.filter.dtype
         if dtype == "float64" and not jax.config.jax_enable_x64:
-            if not getattr(self, "_warned_f64", False):
-                pinfo("float64 unavailable (x64 disabled); engine runs float32.")
+            if self._impl != "extended" and not getattr(self, "_warned_f64", False):
+                pinfo("float64 unavailable (x64 disabled); engine runs float32 "
+                      "(engine_mode='extended' gives df64 two-float precision).")
                 self._warned_f64 = True
             dtype = "float32"
         parts = max(1, self.n_partitions)

@@ -584,6 +584,107 @@ def mac_tail_pallas_hc(ring_pk, coeff_pk, wr, wi, pos, interpret: bool = False):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mac_pallas_hc_insert(ring_pk, coeff_pk, xpk, pos, interpret: bool = False):
+    """Halfcomplex ring MAC with the ring-slot insert fused INTO the kernel.
+
+    The XLA-level formulation (dynamic_update_slice -> pallas MAC) measured
+    ~94 us for the MAC alone but ~230 us for the full step: a
+    dynamic-index update whose result feeds a custom call makes XLA copy
+    the 64 MB ring every block. Here the new block spectrum ``xpk``
+    [2C, Hp] rides into the kernel as a VMEM-resident input; grid step 0
+    multiplies against it directly (the HBM slot still holds stale data),
+    every step writes it to the aliased ring output block at ``pos``
+    (constant output map -> Mosaic flushes the 0.5 MB block once), and the
+    ring buffer is input/output aliased — no XLA-side ring op at all.
+
+    Returns (yr, yi, new_ring)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    dt = ring_pk.dtype
+
+    def kernel(pos_ref, x, r, g, yr, yi, ring_out):
+        i = pl.program_id(0)
+        first = i == 0
+        # slot pos's HBM content is stale on step 0: the new spectrum is x
+        rr = jnp.where(first, x[:c, :], r[0, :c, :])
+        ri = jnp.where(first, x[c:, :], r[0, c:, :])
+        cr = g[0, :c, :]
+        ci = g[0, c:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        dc = jax.lax.broadcasted_iota(jnp.int32, (c, hp), 1) == 0
+        a_r = jnp.where(dc, p1, p1 - p2)
+        a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+
+        @pl.when(first)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+        ring_out[0] = x[:]  # constant map: flushed to slot pos once
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((c2, hp), lambda i, pos_ref: (0, 0)),  # xpk resident
+            pl.BlockSpec((1, c2, hp), ring_map),
+            pl.BlockSpec((1, c2, hp), coeff_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((1, c2, hp), lambda i, pos_ref: (pos_ref[0], 0, 0)),
+        ],
+    )
+    yr, yi, ring_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hp), dt),
+            jax.ShapeDtypeStruct((c, hp), dt),
+            jax.ShapeDtypeStruct((p, c2, hp), dt),
+        ],
+        # operand indices include the scalar-prefetch arg: 1=ring -> out 2
+        input_output_aliases={2: 2},
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), xpk, ring_pk, coeff_pk)
+    return yr, yi, ring_new
+
+
+def step_hc2(
+    state: HcState,
+    coeff_pk: jax.Array,
+    block: jax.Array,
+    interpret: bool = False,
+) -> Tuple[HcState, jax.Array]:
+    """step_hc with the in-kernel ring insert (mac_pallas_hc_insert):
+    identical outputs, no XLA-side dynamic ring update."""
+    p, c2, hp = state.ring.shape
+    n = block.shape[-1]
+    block, xpk = _hc_frame_spectrum(state, block, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    yr, yi, ring = mac_pallas_hc_insert(state.ring, coeff_pk, xpk, pos,
+                                        interpret=interpret)
+    out = F.irfft_hc_tail(yr, yi, n=2 * n)
+    return HcState(ring, block, state.blockcounter + 1), out
+
+
 class HcState(NamedTuple):
     """Packed halfcomplex streaming state: ring [P, 2C, Hp] (re rows 0..C-1,
     im rows C..2C-1; lane 0 = (DC.re, Nyquist.re), Hp = n_fft//2 rounded up

@@ -219,6 +219,27 @@ def test_step_hc_matches_split_and_scipy(use_pallas):
     np.testing.assert_allclose(y, ref, atol=1e-9)
 
 
+@pytest.mark.parametrize("blocklen", [128, 64])
+def test_step_hc2_matches_step_hc(blocklen):
+    rng = np.random.default_rng(19)
+    spec = FilterSpec(block_length=blocklen, n_partitions=4, dtype="float64")
+    c = 2
+    h = rng.standard_normal((c, 3 * blocklen)) * 0.1
+    x = rng.standard_normal((c, blocklen * 6))
+
+    s1 = K.init_hc_state(spec, c)
+    s2 = K.init_hc_state(spec, c)
+    chc = K.hc_coeffs(h, spec, c)
+    for b in range(6):
+        blk = x[:, b * blocklen : (b + 1) * blocklen]
+        s1, o1 = K.step_hc(s1, chc, blk, use_pallas=False)
+        s2, o2 = K.step_hc2(s2, chc, blk, interpret=True)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=1e-10,
+                                   err_msg=f"block {b}")
+        np.testing.assert_allclose(np.asarray(s2.ring), np.asarray(s1.ring),
+                                   atol=1e-12, err_msg=f"ring after block {b}")
+
+
 @pytest.mark.parametrize("blocklen", [128, 64])  # 64: hp (128) > h (64)
 def test_step_hc_fused_matches_step_hc(blocklen):
     rng = np.random.default_rng(17)
