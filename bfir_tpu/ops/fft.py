@@ -444,7 +444,7 @@ def cfft_split(yr: jax.Array, yi: jax.Array, n: Optional[int] = None,
     rdt = yr.dtype.name
     if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
         if cols is None:
-            return _cfft_fourstep(yr, yi, m, inverse)
+            return _cfft_pow2_last(yr, yi, m, inverse)
         start, count = cols
         n1 = _split_factor(m)
         k2_lo = start // n1
@@ -541,7 +541,7 @@ def _cfft(y: jax.Array, n: Optional[int], axis: int, inverse: bool) -> jax.Array
     cdt = y.dtype
     rdt = "float32" if cdt == jnp.complex64 else "float64"
     if m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0:
-        orr, oi = _cfft_fourstep(jnp.real(y), jnp.imag(y), m, inverse)
+        orr, oi = _cfft_pow2_last(jnp.real(y), jnp.imag(y), m, inverse)
         return jax.lax.complex(orr, oi)
     cr, ci = _cdft_weights(m, rdt, inverse)
     cr = jnp.asarray(cr)
