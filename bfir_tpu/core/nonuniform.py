@@ -1,0 +1,251 @@
+"""Non-uniform (two-stage) partitioned convolution: the streaming engine's
+HBM-traffic breaker.
+
+The uniform engine (reference: brutefir.cpp:244-343, one partition size =
+one block) reads the whole ring + coefficient set every block: at the
+flagship geometry (64 ch x 131072 taps, N=1024, P=128) that is ~134 MB per
+1024-sample block, and the measured streaming floor (0.22 ms/block,
+CLAUDE.md) is exactly that traffic at HBM bandwidth. The reference cannot
+cheapen this: its per-block MAC loop (convolve_add, fftw_convolver.cpp:
+1429-1525) touches every partition every block by construction.
+
+This module implements the classical two-stage non-uniform partition
+schedule (Gardner, "Efficient convolution without input-output delay",
+JAES 43(3) 1995 — the standard low-latency convolution optimization the
+reference never adopted): a small *head* engine at the streaming block size
+N covers the first taps, and a *tail* engine with partition size M = R*N
+covers the rest, running once every R blocks. Per-block amortized traffic
+drops ~4x at the flagship geometry (head 16 partitions at N + tail at M
+touched 1/R as often) with the SAME input->output latency N: the tail's
+first tap starts at offset D*M (D >= 2), so its contribution to an output
+block is computable R blocks before it is needed.
+
+Scheduling invariant (the correctness core): with the tail covering taps
+[D*M, D*M + P_tail*M) and a uniform overlap-save engine over M-blocks,
+tail output z[k] (computed the moment input M-block k completes) is the
+tail's contribution to output M-block k + D. z values wait in a [D, C, M]
+pending queue; phase r = blockcounter mod R consumes slice r of
+pending[0]. Warm-up falls out naturally: the queue starts zeroed and the
+head covers all taps an output can touch before the first z lands.
+
+Everything is static-shape and cond/scan-friendly: one jitted step serves
+every phase (the tail MAC runs under ``lax.cond`` on phase R-1), so the
+step compiles once and streams like the uniform engines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bfir_tpu.core.spec import FilterSpec
+from bfir_tpu.kernels import spectrum_mac as K
+from bfir_tpu.ops import fft as F
+
+
+@dataclass(frozen=True)
+class NuSpec:
+    """Two-stage geometry. ``block_length``/``dtype`` as FilterSpec; the
+    head runs ``p_head`` partitions at N, the tail ``p_tail`` partitions at
+    M = ratio*N starting at tap offset p_head*N (which must be an integer
+    multiple D >= 2 of M — the scheduling slack)."""
+
+    block_length: int = 1024
+    ratio: int = 8
+    p_head: int = 16
+    p_tail: int = 14
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.ratio < 2 or (self.ratio & (self.ratio - 1)):
+            raise ValueError(f"ratio must be a power of two >= 2, got {self.ratio}")
+        if self.p_head % self.ratio:
+            raise ValueError(
+                f"p_head ({self.p_head}) must be a multiple of ratio ({self.ratio})"
+            )
+        if self.delay_blocks < 2:
+            raise ValueError(
+                "head must cover >= 2 tail partitions of taps (D >= 2): "
+                f"p_head={self.p_head}, ratio={self.ratio}"
+            )
+        if self.p_tail < 1:
+            raise ValueError(f"p_tail must be >= 1, got {self.p_tail}")
+
+    @property
+    def m(self) -> int:
+        """Tail partition / tail block size."""
+        return self.ratio * self.block_length
+
+    @property
+    def delay_blocks(self) -> int:
+        """D: tail-output delay in M-blocks (= head taps / M)."""
+        return self.p_head // self.ratio
+
+    @property
+    def max_taps(self) -> int:
+        return self.p_head * self.block_length + self.p_tail * self.m
+
+    @property
+    def head_spec(self) -> FilterSpec:
+        return FilterSpec(self.block_length, self.p_head, self.dtype)
+
+    @property
+    def tail_spec(self) -> FilterSpec:
+        return FilterSpec(self.m, self.p_tail, self.dtype)
+
+    @property
+    def traffic_bytes_per_block(self) -> int:
+        """Amortized MAC HBM bytes per N-block (ring+coeff, both stages) —
+        the number the uniform engine pays P/(p_head + p_tail/R) times
+        over."""
+        it = jnp.dtype(self.dtype).itemsize
+        head = 2 * self.p_head * 2 * self.block_length * it
+        tail = 2 * self.p_tail * 2 * self.m * it // self.ratio
+        return (head + tail)  # per channel
+
+
+def nu_geometry(taps: int, block_length: int = 1024, ratio: int = 8,
+                dtype: str = "float32") -> NuSpec:
+    """Pick a two-stage geometry covering ``taps``: minimal head (D=2) and
+    however many M-partitions the remainder needs."""
+    p_head = 2 * ratio
+    m = ratio * block_length
+    rest = max(0, taps - p_head * block_length)
+    p_tail = max(1, -(-rest // m))
+    return NuSpec(block_length, ratio, p_head, p_tail, dtype)
+
+
+class NuState(NamedTuple):
+    """Streaming state: the two engine states plus the M-block input
+    accumulator and the pending tail-output queue (pending[0] is the
+    M-block being consumed now; pending[-1] the most recent z)."""
+
+    head: K.HcState
+    tail: K.HcState
+    inbuf: jax.Array  # [C, M]
+    pending: jax.Array  # [D, C, M]
+
+
+def init_nu_state(spec: NuSpec, n_channels: int) -> NuState:
+    dt = jnp.dtype(spec.dtype)
+    return NuState(
+        head=K.init_hc_state(spec.head_spec, n_channels),
+        tail=K.init_hc_state(spec.tail_spec, n_channels),
+        inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
+        pending=jnp.zeros((spec.delay_blocks, n_channels, spec.m), dtype=dt),
+    )
+
+
+class NuCoeffs(NamedTuple):
+    head: jax.Array  # [p_head, 2C, Hp_head]
+    tail: jax.Array  # [p_tail, 2C, Hp_tail]
+
+
+def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
+              precise: bool = False) -> NuCoeffs:
+    """Split the impulse at the head/tail boundary and build each stage's
+    packed halfcomplex coefficient spectra (kernels.spectrum_mac.hc_coeffs
+    semantics, including ``precise`` f64 build)."""
+    h = jnp.asarray(impulse)
+    if h.ndim == 1:
+        h = h[None, :]
+    t1 = spec.p_head * spec.block_length
+    taps = h.shape[-1]
+    head_imp = h[:, : min(taps, t1)]
+    tail_imp = h[:, t1:] if taps > t1 else jnp.zeros((h.shape[0], 1), h.dtype)
+    return NuCoeffs(
+        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise),
+        tail=K.hc_coeffs(tail_imp, spec.tail_spec, n_channels, scale, precise),
+    )
+
+
+def _tail_mac(ring, coeff, pos, use_pallas: bool, interpret: bool,
+              tile: int = 2048):
+    """Tail-stage MAC: freq-tiled Pallas kernel (the untiled kernel's
+    whole-plane VMEM blocks overflow at Hp = ratio*N/... = 8192) or the jnp
+    reference on CPU."""
+    c = ring.shape[1] // 2
+    if use_pallas:
+        hp = ring.shape[-1]
+        return K.mac_pallas_hc_tiled(ring, coeff, pos,
+                                     tile=min(tile, hp), interpret=interpret)
+    return K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                              coeff[:, :c], coeff[:, c:], pos)
+
+
+def _tail_step(state: K.HcState, coeff_pk, mblock, use_pallas, interpret):
+    """One overlap-save step of the tail engine on an M-block. Same math as
+    kernels.spectrum_mac.step_hc but with the tiled MAC and the four-step
+    inverse (+ slice) instead of the direct tail basis: at M = 8192 the
+    [Hp, Hp] half-DFT tail basis would be a 256 MB operand — far more
+    traffic than the four-step chain it replaces."""
+    p, c2, hp = state.ring.shape
+    m = mblock.shape[-1]
+    mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    yr, yi = _tail_mac(ring, coeff_pk, pos, use_pallas, interpret)
+    out = F.irfft_split_hc(yr, yi, n=2 * m)[..., m:]
+    return K.HcState(ring, mblock, state.blockcounter + 1), out
+
+
+def step_nu(
+    state: NuState,
+    coeffs: NuCoeffs,
+    block: jax.Array,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[NuState, jax.Array]:
+    """One N-block through the two-stage engine. Outputs match the uniform
+    engine (step_hc at P = p_head + ratio*p_tail) to fp rounding; amortized
+    HBM traffic is ~4x lower at the flagship geometry.
+
+    Every phase compiles into the same step: the tail engine fires under
+    ``lax.cond`` on phase R-1 (both branches static-shape), so a
+    ``lax.scan`` over blocks streams exactly like the uniform engines."""
+    n = block.shape[-1]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+
+    head, y_head = K.step_hc(state.head, coeffs.head, block,
+                             interpret=interpret, use_pallas=use_pallas)
+
+    zero = jnp.zeros((), dtype=r_phase.dtype)
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, r_phase * n))
+
+    c = state.inbuf.shape[0]
+    tail_slice = jax.lax.dynamic_slice(
+        state.pending[0], (zero, r_phase * n), (c, n))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z = _tail_step(tail, coeffs.tail, inbuf, use_pallas, interpret)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    tail, pending = jax.lax.cond(
+        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return NuState(head, tail, inbuf, pending), out
+
+
+def process_blocks_nu(state: NuState, coeffs: NuCoeffs, blocks: jax.Array,
+                      interpret: bool = False, use_pallas: bool = True):
+    """lax.scan of step_nu over blocks [B, C, N] -> (state, out [B, C, N])."""
+
+    def body(st, blk):
+        st, y = step_nu(st, coeffs, blk, interpret=interpret,
+                        use_pallas=use_pallas)
+        return st, y
+
+    return jax.lax.scan(body, state, blocks)

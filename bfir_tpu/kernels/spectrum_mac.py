@@ -499,6 +499,87 @@ def mac_pallas_hc(ring_pk, coeff_pk, pos, interpret: bool = False):
     return yr, yi
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
+                        interpret: bool = False):
+    """``mac_pallas_hc`` with the frequency axis tiled into the grid.
+
+    The untiled kernel keeps one whole [2C, Hp] ring slot + coeff slot (plus
+    double-buffering) resident in VMEM; at the non-uniform engine's tail
+    geometry (Hp = 8192, C = 64 -> 4 MB per slot) that overflows VMEM. Here
+    the grid is (Hp/tile, P) with partitions innermost: each output tile
+    [C, tile] stays resident in VMEM across the partition sweep while ring
+    and coeff stream through in [1, 2C, tile] blocks. Semantics identical to
+    ``mac_pallas_hc`` (lane 0 of freq-tile 0 is the (DC.re, Ny.re) pair of
+    real products). Returns (yr, yi) [C, Hp] halfcomplex planes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    dt = ring_pk.dtype
+    if hp % tile:
+        raise ValueError(f"freq tile {tile} must divide Hp {hp}")
+    nf = hp // tile
+
+    def kernel(pos_ref, r, g, yr, yi):
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+        rr = r[0, :c, :]
+        ri = r[0, c:, :]
+        cr = g[0, :c, :]
+        ci = g[0, c:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        dc = jnp.logical_and(
+            f == 0, jax.lax.broadcasted_iota(jnp.int32, (c, tile), 1) == 0
+        )
+        a_r = jnp.where(dc, p1, p1 - p2)
+        a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    def ring_map(f, i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, f)
+
+    def coeff_map(f, i, pos_ref):
+        return (i, 0, f)
+
+    def out_map(f, i, pos_ref):
+        return (0, f)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nf, p),
+        in_specs=[
+            pl.BlockSpec((1, c2, tile), ring_map),
+            pl.BlockSpec((1, c2, tile), coeff_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, tile), out_map),
+            pl.BlockSpec((c, tile), out_map),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hp), dt),
+            jax.ShapeDtypeStruct((c, hp), dt),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring_pk, coeff_pk)
+    return yr, yi
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mac_tail_pallas_hc(ring_pk, coeff_pk, wr, wi, pos, interpret: bool = False):
     """Fused halfcomplex ring MAC + overlap-save tail render in ONE kernel.
