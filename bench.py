@@ -141,6 +141,81 @@ def bench_streaming(spec, h, jnp, jax, n_iters):
     return sps, p50, floor, s
 
 
+def bench_streaming_nu(h, jnp, jax, n_iters):
+    """Streaming through the two-stage non-uniform engine
+    (core.nonuniform.step_nu): head at N=1024 x 16 partitions + tail at
+    M=8192 x 14 partitions fired every 8th block — ~4x less amortized HBM
+    traffic than the uniform ring at the same one-block latency. Absolute
+    scipy verification first (worst channel, enough blocks that the tail
+    stage carries real signal), then the differential device floor."""
+    from scipy import signal
+
+    from bfir_tpu.core import nonuniform as NU
+
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu:
+        spec = NU.NuSpec(block_length=BLOCK, ratio=2, p_head=4, p_tail=2)
+    else:
+        spec = NU.nu_geometry(PARTITIONS * BLOCK, BLOCK, ratio=8)
+    hh = h[:, : spec.max_taps]
+    coeffs = NU.nu_coeffs(hh, spec, CHANNELS)
+    interp = on_cpu
+    rng = np.random.default_rng(3)
+    ratio = spec.ratio
+
+    # macro formulation (process_blocks_nu_fast): bench streams are M-cycle
+    # aligned, and the per-block cond makes XLA carry the untaken tail
+    # branch as a ~60 MB ring copy every block (measured: it erases the
+    # traffic win entirely — 0.225 ms/block vs the uniform engine's 0.22)
+    scan = jax.jit(
+        lambda st, co, blocks: NU.process_blocks_nu_fast(
+            st, co, blocks, interpret=interp, use_pallas=not on_cpu),
+        donate_argnums=0)
+
+    # correctness: enough blocks that pending tail outputs land (>= (D+1)*R)
+    ncheck = (spec.delay_blocks + 2) * ratio
+    st = NU.init_nu_state(spec, CHANNELS)
+    xs = rng.standard_normal((CHANNELS, ncheck * BLOCK)).astype(np.float32)
+    blocks = jnp.asarray(xs.reshape(CHANNELS, ncheck, BLOCK).transpose(1, 0, 2))
+    t0 = time.time()
+    st, out = scan(st, coeffs, blocks)
+    y = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+    log(f"nu check ({ncheck} blocks) ran in {time.time()-t0:.1f}s")
+    ref = signal.fftconvolve(xs.astype(np.float64), hh.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    s = worst_channel_snr(y, ref)
+    log(f"nu streaming worst-channel SNR vs scipy: {s:.1f} dB")
+    if s < 80:
+        return 0.0, float("nan"), s
+
+    # device floor, differential scans (multiples of R so every scan carries
+    # the same tail-fire density and the difference is exactly (k2-k1)
+    # steady-state blocks)
+    k1, k2 = (2 * ratio, 6 * ratio) if on_cpu else (2 * ratio, 18 * ratio)
+    floors = {}
+    st3 = NU.init_nu_state(spec, CHANNELS)
+    for kk in (k1, k2):
+        pool = [jax.device_put(rng.standard_normal(
+            (kk, CHANNELS, BLOCK)).astype(np.float32)) for _ in range(2)]
+        jax.block_until_ready(pool)
+        t0 = time.time()
+        st3, o = scan(st3, coeffs, pool[0])
+        float(jnp.sum(o))
+        log(f"nu-floor compile (K={kk}): {time.time()-t0:.1f}s")
+        ts = []
+        for i in range(max(3, n_iters // 4)):
+            t0 = time.time()
+            st3, o = scan(st3, coeffs, pool[i % 2])
+            float(jnp.sum(o))
+            ts.append(time.time() - t0)
+        floors[kk] = float(np.min(ts))
+    floor = max((floors[k2] - floors[k1]) / (k2 - k1), 1e-9)
+    sps = BLOCK * CHANNELS / floor
+    log(f"nu streaming device floor: {floor*1e3:.3f} ms/block "
+        f"(differential {k1}/{k2} scan) -> {sps/1e6:.0f} M samples/s device-side")
+    return sps, floor, s
+
+
 def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=8):
     """Bulk-mode throughput: ``scan_batches`` x ``process_batch`` per
     dispatch (lax.scan), amortizing this image's ~30 ms tunnel round-trip
@@ -398,6 +473,11 @@ def _run_path(which: str):
         res = bench_fft(spec, jnp, jax, n_iters=5 if on_cpu else 30)
         res["backend"] = backend
         print(json.dumps(res))
+    elif which == "nustream":
+        sps, floor, s = bench_streaming_nu(h, jnp, jax,
+                                           n_iters=5 if on_cpu else 40)
+        print(json.dumps({"sps": sps, "floor": floor, "snr": s,
+                          "backend": backend}))
     else:
         sps, p50, floor, s = bench_streaming(spec, h, jnp, jax,
                                              n_iters=5 if on_cpu else 50)
@@ -429,6 +509,9 @@ def main():
     # cache (CLAUDE.md), so the kernel + the 64-step scan compile cold every
     # run (observed >900s total on a slow tunnel)
     stream = sub("stream", 1800)
+    # two-stage non-uniform streaming (head+tail kernels + 16384-pt FFT
+    # graphs compile cold)
+    nustream = sub("nustream", 1800)
     # fft compiles 8 differential-scan graphs; allow for a slow remote
     # compile tunnel (observed >600s cold)
     fft = sub("fft", 1500)
@@ -437,7 +520,9 @@ def main():
     stream_sps = stream.get("sps", 0.0) or 0.0
     p50 = stream.get("p50") or float("nan")
     floor = stream.get("floor") or float("nan")
-    snrs = [v for v in (batch.get("snr"), stream.get("snr")) if v is not None]
+    nu_floor = nustream.get("floor") or float("nan")
+    snrs = [v for v in (batch.get("snr"), stream.get("snr"),
+                        nustream.get("snr")) if v is not None]
     backend = batch.get("backend") or stream.get("backend") or "unknown"
 
     value = max(stream_sps, batch_sps)
@@ -456,6 +541,9 @@ def main():
         "vs_baseline": round(value / realtime, 2),
         "stream_p50_ms": round(p50 * 1e3, 3) if p50 == p50 else None,
         "stream_floor_ms": round(floor * 1e3, 4) if floor == floor else None,
+        "nu_stream_floor_ms": round(nu_floor * 1e3, 4) if nu_floor == nu_floor else None,
+        "nu_stream_sps": round(nustream.get("sps", 0.0) or 0.0, 1),
+        "nu_snr_db": round(nustream["snr"], 1) if nustream.get("snr") is not None else None,
         "batch_sps": round(batch_sps, 1),
         "stream_sps": round(stream_sps, 1),
         "snr_db": round(min(snrs), 1) if snrs else None,

@@ -63,8 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the TCP control server on PORT during rendering "
                         "(same protocol as the reference plugin)")
     p.add_argument("--engine-mode",
-                   choices=["auto", "complex", "packed", "hc", "extended",
-                            "sharded"],
+                   choices=["auto", "complex", "packed", "hc", "nonuniform",
+                            "extended", "sharded"],
                    default="auto",
                    help="compute path (default auto: halfcomplex Pallas on "
                         "TPU, complex jnp on CPU, df64 'extended' for "

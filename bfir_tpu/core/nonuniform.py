@@ -239,9 +239,152 @@ def step_nu(
     return NuState(head, tail, inbuf, pending), out
 
 
+def _hc_mac(ring, coeff, pos, use_pallas, interpret):
+    c = ring.shape[1] // 2
+    if use_pallas:
+        return K.mac_pallas_hc(ring, coeff, pos, interpret=interpret)
+    return K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                              coeff[:, :c], coeff[:, c:], pos)
+
+
+def _tail_step2(state: K.HcState, coeff_a, coeff_b, mblock, use_pallas,
+                interpret):
+    """Tail step with ONE ring advance and TWO coefficient MACs — the
+    transition fire of a live filter change (see step_nu_crossfade)."""
+    p, c2, hp = state.ring.shape
+    m = mblock.shape[-1]
+    mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    zero = jnp.zeros((), dtype=pos.dtype)
+    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    ya = _tail_mac(ring, coeff_a, pos, use_pallas, interpret)
+    yb = _tail_mac(ring, coeff_b, pos, use_pallas, interpret)
+    za = F.irfft_split_hc(ya[0], ya[1], n=2 * m)[..., m:]
+    zb = F.irfft_split_hc(yb[0], yb[1], n=2 * m)[..., m:]
+    return K.HcState(ring, mblock, state.blockcounter + 1), za, zb
+
+
+def step_nu_crossfade(
+    state: NuState,
+    coeffs_old: NuCoeffs,
+    coeffs_new: NuCoeffs,
+    block: jax.Array,
+    head_ramp: bool = True,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[NuState, jax.Array]:
+    """Glitch-free live filter change on the two-stage engine.
+
+    The change morphs head-first, each stage bridging at its own natural
+    boundary so the output stays continuous throughout
+    (convolver_crossfade_inplace's law, fftw_convolver.cpp:275-321, applied
+    per stage):
+
+    - head: two MACs + a linear intra-block ramp on the change block
+      (``head_ramp=True``); later blocks run the new head coefficients.
+    - tail: in-flight pending M-blocks were computed with the old
+      coefficients and stay untouched (they are the *continuation* of the
+      old-filter signal). The FIRST tail fire after the change computes the
+      M-block with BOTH coefficient sets (one ring advance, two MACs) and
+      stores a full-M linear ramp old->new: its start is continuous with
+      the last old pending block, its end with the pure-new fires that
+      follow. One extra tail MAC total per reconfigure.
+
+    The caller keeps feeding blocks through this function (head_ramp=False
+    after the first) until a fire has occurred — i.e. until a block with
+    phase R-1 has passed — then returns to ``step_nu`` with the new
+    coefficients. ``engine.session`` drives exactly that sequence."""
+    n = block.shape[-1]
+    c = state.inbuf.shape[0]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+
+    if head_ramp:
+        # two head MACs + intra-block ramp (step_hc_crossfade's law, with
+        # the same MAC selection as step_nu)
+        p, c2, hp = state.head.ring.shape
+        blk, xpk = K._hc_frame_spectrum(state.head, block, hp)
+        pos = jnp.mod(state.head.blockcounter, p)
+        zero = jnp.zeros((), dtype=pos.dtype)
+        ring = jax.lax.dynamic_update_slice(state.head.ring, xpk[None],
+                                            (pos, zero, zero))
+        yo = _hc_mac(ring, coeffs_old.head, pos, use_pallas, interpret)
+        yn = _hc_mac(ring, coeffs_new.head, pos, use_pallas, interpret)
+        out_o = F.irfft_hc_tail(yo[0], yo[1], n=2 * n)
+        out_n = F.irfft_hc_tail(yn[0], yn[1], n=2 * n)
+        ramp = jnp.arange(n, dtype=out_o.dtype) / (n - 1)
+        y_head = out_o * (1.0 - ramp) + out_n * ramp
+        head = K.HcState(ring, blk, state.head.blockcounter + 1)
+    else:
+        head, y_head = K.step_hc(state.head, coeffs_new.head, block,
+                                 interpret=interpret, use_pallas=use_pallas)
+
+    zero = jnp.zeros((), dtype=r_phase.dtype)
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, r_phase * n))
+    tail_slice = jax.lax.dynamic_slice(
+        state.pending[0], (zero, r_phase * n), (c, n))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z_old, z_new = _tail_step2(tail, coeffs_old.tail,
+                                         coeffs_new.tail, inbuf,
+                                         use_pallas, interpret)
+        m = z_old.shape[-1]
+        ramp_m = jnp.arange(m, dtype=z_old.dtype) / (m - 1)
+        z = z_old * (1.0 - ramp_m) + z_new * ramp_m
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    tail, pending = jax.lax.cond(
+        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return NuState(head, tail, inbuf, pending), out
+
+
+def step_nu_macro(
+    state: NuState,
+    coeffs: NuCoeffs,
+    mblocks: jax.Array,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[NuState, jax.Array]:
+    """One full M-cycle (R consecutive N-blocks, ``mblocks`` [R, C, N]) with
+    STATIC phases: the R head steps unroll, pending-queue slices are static,
+    and the tail fires unconditionally at the end — no ``lax.cond`` at all.
+
+    Identical state evolution and outputs to R calls of ``step_nu`` from
+    phase 0 (the per-block path and this one are freely interchangeable at
+    M-cycle boundaries). This is the throughput formulation: carrying the
+    tail state through a per-block cond makes XLA materialize the untaken
+    branch's pass-through as a copy of the ~60 MB tail ring every block,
+    which erases the traffic advantage the two-stage schedule exists for.
+    Requires ``state`` to be at phase 0 (asserted by the caller)."""
+    r, c, n = mblocks.shape
+    head = state.head
+    outs = []
+    for i in range(r):  # static unroll: phase is a python int
+        head, y = K.step_hc(head, coeffs.head, mblocks[i],
+                            interpret=interpret, use_pallas=use_pallas)
+        outs.append(y + state.pending[0][:, i * n:(i + 1) * n])
+    inbuf = jnp.swapaxes(mblocks, 0, 1).reshape(c, r * n).astype(state.inbuf.dtype)
+    tail, z = _tail_step(state.tail, coeffs.tail, inbuf, use_pallas, interpret)
+    pending = jnp.concatenate([state.pending[1:], z[None]], axis=0)
+    return (NuState(head, tail, inbuf, pending),
+            jnp.stack(outs))
+
+
 def process_blocks_nu(state: NuState, coeffs: NuCoeffs, blocks: jax.Array,
                       interpret: bool = False, use_pallas: bool = True):
-    """lax.scan of step_nu over blocks [B, C, N] -> (state, out [B, C, N])."""
+    """lax.scan of the per-block step over blocks [B, C, N] -> (state, out
+    [B, C, N]). Valid from any phase. For M-cycle-aligned bulk streams
+    prefer ``process_blocks_nu_fast`` (cond-free macro step; same outputs,
+    no per-block tail-state pass-through)."""
 
     def body(st, blk):
         st, y = step_nu(st, coeffs, blk, interpret=interpret,
@@ -249,3 +392,25 @@ def process_blocks_nu(state: NuState, coeffs: NuCoeffs, blocks: jax.Array,
         return st, y
 
     return jax.lax.scan(body, state, blocks)
+
+
+def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
+                           blocks: jax.Array, interpret: bool = False,
+                           use_pallas: bool = True):
+    """lax.scan of the macro step over M-cycles: blocks [B, C, N] with B a
+    multiple of R, and ``state`` MUST be at phase 0 (caller-checked:
+    ``int(state.head.blockcounter) % R == 0`` — engine/session and bench do
+    this host-side to avoid compiling both formulations under a cond)."""
+    b, c, n = blocks.shape
+    ratio = state.inbuf.shape[-1] // n
+    if b % ratio:
+        raise ValueError(f"block count {b} not a multiple of R={ratio}")
+    mcycles = blocks.reshape(b // ratio, ratio, c, n)
+
+    def mbody(st, mb):
+        st, y = step_nu_macro(st, coeffs, mb, interpret=interpret,
+                              use_pallas=use_pallas)
+        return st, y
+
+    st, ys = jax.lax.scan(mbody, state, mcycles)
+    return st, ys.reshape(b, c, n)

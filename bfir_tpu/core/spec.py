@@ -262,7 +262,9 @@ class EngineConfig:
     # parity on an f32-only chip). Force with
     # "complex"/"packed"/"hc"/"extended"; "sharded" runs the multi-device
     # ppermute engine (parallel/sharded.py) over the session's mesh (all
-    # visible devices by default)
+    # visible devices by default); "nonuniform" runs the two-stage
+    # Gardner-partition engine (core/nonuniform.py: ~4x less streaming HBM
+    # traffic for long filters at the same one-block latency)
     engine_mode: str = "auto"
     # run a known-answer self-check of the exact compiled graph at every
     # coefficient build (engine/selfcheck.py); on failure the session falls
@@ -270,11 +272,11 @@ class EngineConfig:
     self_check: bool = True
 
     def __post_init__(self):
-        if self.engine_mode not in ("auto", "complex", "packed", "hc",
+        if self.engine_mode not in ("auto", "complex", "packed", "hc", "nonuniform",
                                     "extended", "sharded"):
             raise ValueError(
-                "engine_mode must be auto/complex/packed/hc/extended/sharded, "
-                f"got {self.engine_mode!r}")
+                "engine_mode must be auto/complex/packed/hc/nonuniform/"
+                f"extended/sharded, got {self.engine_mode!r}")
 
 
 # ---------------------------------------------------------------------------

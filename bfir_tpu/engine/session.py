@@ -73,6 +73,11 @@ class StreamProcessor:
         self._pending_swap = None
         self._impl = "complex"
         self._step_packed = None
+        self._nuspec = None
+        self._nu_old = None  # old coeffs during a nonuniform crossfade
+        self._nu_xfade = None  # (ramp, hold) jitted crossfade steps
+        self._scan_nu = None
+        self._scan_nu_fast = None
         self._dither_state = None
         self._overflow = None
         self._last_overflow = None
@@ -149,6 +154,12 @@ class StreamProcessor:
             new_coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
                                      scale=built.scale,
                                      precise=config.filter.dtype == "float64")
+        elif self._impl == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+
+            new_coeffs = NU.nu_coeffs(built.impulse, self._nuspec,
+                                      self._channels, scale=built.scale,
+                                      precise=config.filter.dtype == "float64")
         elif self._impl == "extended":
             from bfir_tpu.kernels import extended as E
 
@@ -193,6 +204,11 @@ class StreamProcessor:
             from bfir_tpu.kernels import extended as E
 
             self._state = E.init_df_state(fspec, self._channels)
+        elif self._impl == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+
+            self._state = NU.init_nu_state(self._nuspec, self._channels)
+            self._nu_old = None
         elif self._impl == "sharded":
             self._state = self._sharded.init_state()
         else:
@@ -236,7 +252,8 @@ class StreamProcessor:
         # rather than streaming wrong audio (the reference's self-verification
         # philosophy: convolver_verify_cbuf, fftw_convolver.cpp:569-602).
         first = self._resolve_engine_mode()
-        chain = {"extended": ["hc", "packed"], "hc": ["packed"]}
+        chain = {"extended": ["hc", "packed"], "hc": ["packed"],
+                 "nonuniform": ["hc", "packed"]}
         candidates = list(dict.fromkeys(
             [first] + chain.get(first, []) + ["complex"]))
         for impl in candidates:
@@ -268,6 +285,8 @@ class StreamProcessor:
         exact production callable."""
         self._impl = impl
         self._xfade_packed = None  # lazily rebound: it closes over the impl
+        self._nu_xfade = None
+        self._nu_old = None
         fspec = self._runtime_filter_spec
         if impl == "sharded":
             from bfir_tpu.parallel.sharded import ShardedEngine
@@ -308,6 +327,43 @@ class StreamProcessor:
             )
             step_call = self._step_packed
             init_state = lambda: K.init_hc_state(fspec, self._channels)
+        elif impl == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+
+            n = fspec.block_length
+            taps = fspec.n_partitions * n
+            nuspec = NU.nu_geometry(taps, n, ratio=8, dtype=fspec.dtype)
+            if taps <= nuspec.p_head * n:
+                # filter fits inside the head: the two-stage machinery would
+                # only add overhead — fall through to the uniform hc engine
+                raise ValueError(
+                    f"filter ({taps} taps) too short for the non-uniform "
+                    f"engine (head alone covers {nuspec.p_head * n})")
+            self._nuspec = nuspec
+            precise = self.config.filter.dtype == "float64"
+            self._coeffs = NU.nu_coeffs(built.impulse, nuspec, self._channels,
+                                        scale=built.scale, precise=precise)
+            interp = jax.default_backend() == "cpu"
+            up = not interp
+            self._step_packed = jax.jit(
+                lambda s, g, blk: NU.step_nu(s, g, blk, interpret=interp,
+                                             use_pallas=up),
+                donate_argnums=0,
+            )
+            self._scan_nu = jax.jit(
+                lambda s, g, blocks: NU.process_blocks_nu(
+                    s, g, blocks, interpret=interp, use_pallas=up),
+                donate_argnums=0,
+            )
+            self._scan_nu_fast = jax.jit(
+                lambda s, g, blocks: NU.process_blocks_nu_fast(
+                    s, g, blocks, interpret=interp, use_pallas=up),
+                donate_argnums=0,
+            )
+            step_call = self._step_packed
+            init_state = lambda: NU.init_nu_state(nuspec, self._channels)
+            pinfo("Engine: non-uniform partitions (head %u x %u + tail "
+                  "%u x %u).", nuspec.p_head, n, nuspec.p_tail, nuspec.m)
         elif impl == "extended":
             from bfir_tpu.kernels import extended as E
 
@@ -329,8 +385,14 @@ class StreamProcessor:
             from bfir_tpu.engine import selfcheck
 
             scaled = np.asarray(built.impulse, dtype=np.float64) * built.scale
+            # the non-uniform engine's tail only reaches the output after
+            # (D+1) tail fires: stream enough blocks that a tail-stage
+            # miscompile cannot hide behind a correct head
+            n_blocks = (3 if impl != "nonuniform"
+                        else (self._nuspec.delay_blocks + 2) * self._nuspec.ratio)
             selfcheck.check_stream(step_call, init_state, self._coeffs, scaled,
-                                   fspec, n_channels, label=f"engine '{impl}'")
+                                   fspec, n_channels, n_blocks=n_blocks,
+                                   label=f"engine '{impl}'")
         self._init_runtime_state()
 
     @property
@@ -358,6 +420,26 @@ class StreamProcessor:
             n_partitions=parts,
             dtype=dtype,
         )
+
+    def _nu_phase(self) -> int:
+        """Current block phase within the tail's M-block cycle."""
+        return int(np.asarray(self._state.head.blockcounter)) % self._nuspec.ratio
+
+    def _nu_xfade_steps(self):
+        """Lazily jitted (ramp, hold) crossfade steps for the nonuniform
+        engine (ramp: intra-block head crossfade; hold: new head, still
+        waiting for the bridging tail fire)."""
+        if self._nu_xfade is None:
+            from bfir_tpu.core import nonuniform as NU
+
+            interp = jax.default_backend() == "cpu"
+            up = not interp
+            mk = lambda hr: jax.jit(
+                lambda s, o, nw, blk: NU.step_nu_crossfade(
+                    s, o, nw, blk, head_ramp=hr, interpret=interp,
+                    use_pallas=up))
+            self._nu_xfade = (mk(True), mk(False))
+        return self._nu_xfade
 
     def _resolve_mesh(self):
         if self._mesh is None:
@@ -394,7 +476,27 @@ class StreamProcessor:
             block, buf = buf[:, :n], buf[:, n:]
             swap = self._pending_swap
             with self.block_timer.measure():
-                if swap is not None:
+                if swap is not None and self._impl == "nonuniform":
+                    # two-stage crossfade: intra-block head ramp now; the
+                    # tail bridges at its first fire after the change (one
+                    # extra MAC there) — see core.nonuniform.step_nu_crossfade
+                    self._pending_swap = None
+                    ramp_step, _ = self._nu_xfade_steps()
+                    fired = self._nu_phase() == self._nuspec.ratio - 1
+                    self._state, out = ramp_step(
+                        self._state, self._coeffs, swap, block)
+                    self._nu_old = None if fired else self._coeffs
+                    self._coeffs = swap
+                elif swap is None and self._nu_old is not None:
+                    # nonuniform transition: waiting for the bridging tail
+                    # fire; head already runs the new coefficients
+                    _, hold_step = self._nu_xfade_steps()
+                    fired = self._nu_phase() == self._nuspec.ratio - 1
+                    self._state, out = hold_step(
+                        self._state, self._nu_old, self._coeffs, block)
+                    if fired:
+                        self._nu_old = None
+                elif swap is not None:
                     self._pending_swap = None
                     if self._impl == "sharded":
                         self._state, out = self._sharded.step_crossfade(
@@ -420,7 +522,7 @@ class StreamProcessor:
                         self._state, out = self._xfade_step(
                             self._state, self._coeffs, swap, block)
                     self._coeffs = swap
-                elif self._impl in ("packed", "hc", "extended"):
+                elif self._impl in ("packed", "hc", "extended", "nonuniform"):
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
                 elif self._impl == "sharded":
                     self._state, out = self._sharded.step(self._state, self._coeffs, block)
@@ -463,7 +565,7 @@ class StreamProcessor:
         # decided only after (re)initialization: the engine implementation
         # is chosen there, and a queued crossfade needs the block loop
         # (the scan paths handle plain steps only)
-        if (self._pending_swap is not None
+        if (self._pending_swap is not None or self._nu_old is not None
                 or self._impl in ("packed", "hc", "extended")):
             return self._process_locked(frames, sample_rate)
 
@@ -479,6 +581,14 @@ class StreamProcessor:
         if self._impl == "sharded":
             self._state, outs = self._sharded.process_blocks(
                 self._state, self._coeffs, jax.numpy.asarray(blocks))
+        elif self._impl == "nonuniform":
+            # M-cycle-aligned bulk work takes the cond-free macro scan
+            # (identical outputs; no per-block tail-state pass-through)
+            aligned = (self._nu_phase() == 0
+                       and n_blocks % self._nuspec.ratio == 0)
+            scan = self._scan_nu_fast if aligned else self._scan_nu
+            self._state, outs = scan(self._state, self._coeffs,
+                                     jax.numpy.asarray(blocks))
         else:
             self._state, outs = self._scan(self._state, self._coeffs, blocks)
         out_np = np.asarray(outs)  # [B, C, N]

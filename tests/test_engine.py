@@ -317,6 +317,67 @@ def test_session_extended_engine_mode(cache, tmp_path):
     assert y2.shape == x.shape
 
 
+def test_session_nonuniform_engine_mode(cache, tmp_path):
+    """engine_mode="nonuniform": two-stage engine behind the session
+    surface, including the multi-block crossfade transition and the
+    process_buffer scan path."""
+    import dataclasses
+
+    rng = np.random.default_rng(31)
+    taps = 6100  # > head coverage (16 x 256 = 4096): tail stage engaged
+    h = (rng.standard_normal((2, taps)) *
+         np.exp(-np.arange(taps) / 2000.0)) * 0.05
+    p = save_impulse(tmp_path, "hnu.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="nonuniform")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 40 * 256))
+    y = sp.process(x)
+    assert sp._impl == "nonuniform"
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9 * np.abs(ref).max())
+
+    # live reconfigure: head ramps in-block, tail bridges at its next fire;
+    # stream must converge exactly to the new filter
+    h2 = h[:, ::-1].copy()
+    p2 = save_impulse(tmp_path, "hnu2.wav", h2)
+    sp.reconfigure(dataclasses.replace(
+        make_config(tmp_path, files=[(p2, 0, False)]), engine_mode="nonuniform"))
+    assert sp._pending_swap is not None, "nonuniform path must crossfade"
+    x2 = rng.standard_normal((2, 60 * 256))
+    y2 = sp.process(x2)
+    assert sp._nu_old is None, "transition must have completed"
+    nu = sp._nuspec
+    settle = (nu.ratio * (nu.delay_blocks + 2) + nu.p_head) * 256
+    full = np.concatenate([x, x2], axis=1)
+    ref2 = np.stack([signal.fftconvolve(full[c], h2[c]) for c in range(2)])
+    ref2 = ref2[:, x.shape[1]: x.shape[1] + y2.shape[1]]
+    np.testing.assert_allclose(y2[:, settle:], ref2[:, settle:],
+                               atol=1e-9 * np.abs(ref2).max())
+
+    # bulk path uses the nu scan
+    y3 = sp.process_buffer(rng.standard_normal((2, 8 * 256)))
+    assert y3.shape == (2, 8 * 256)
+
+
+def test_session_nonuniform_short_filter_falls_back(cache, tmp_path):
+    """A filter that fits in the head stage falls through to 'hc'/'complex'
+    instead of paying two-stage overhead."""
+    import dataclasses
+
+    rng = np.random.default_rng(33)
+    h = rng.standard_normal((2, 300)) * 0.05
+    p = save_impulse(tmp_path, "hns.wav", h)
+    cfg = dataclasses.replace(make_config(tmp_path, files=[(p, 0, False)]),
+                              engine_mode="nonuniform")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 1024))
+    y = sp.process(x)
+    assert sp._impl in ("hc", "complex")
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
+    np.testing.assert_allclose(y, ref, atol=1e-9)
+
+
 def test_engine_mode_validation():
     import dataclasses
     import pytest as _pytest

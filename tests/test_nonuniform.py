@@ -130,6 +130,128 @@ def test_mac_pallas_hc_tiled_matches_reference():
         np.testing.assert_allclose(np.asarray(yi), np.asarray(ri), atol=1e-4)
 
 
+def test_nu_macro_equals_per_block():
+    """The cond-free macro formulation (one M-cycle per step, static
+    phases) is state- and output-identical to R per-block steps."""
+    rng = np.random.default_rng(9)
+    spec = NU.NuSpec(block_length=8, ratio=4, p_head=8, p_tail=2)
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    x = rng.standard_normal((c, 32 * spec.block_length)).astype(np.float32)
+    coeffs = NU.nu_coeffs(h, spec, c)
+    blocks = jnp.asarray(x.reshape(c, -1, spec.block_length).transpose(1, 0, 2))
+
+    st_a = NU.init_nu_state(spec, c)
+    st_a, ya = NU.process_blocks_nu(st_a, coeffs, blocks, use_pallas=False)
+    st_b = NU.init_nu_state(spec, c)
+    st_b, yb = NU.process_blocks_nu_fast(st_b, coeffs, blocks, use_pallas=False)
+
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and the formulations are interchangeable mid-stream
+    st_c = NU.init_nu_state(spec, c)
+    st_c, y1 = NU.process_blocks_nu_fast(st_c, coeffs, blocks[:8], use_pallas=False)
+    st_c, y2 = NU.process_blocks_nu(st_c, coeffs, blocks[8:20], use_pallas=False)
+    st_c, y3 = NU.process_blocks_nu_fast(st_c, coeffs, blocks[20:], use_pallas=False)
+    yc = jnp.concatenate([y1, y2, y3], axis=0)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(ya), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        NU.process_blocks_nu_fast(NU.init_nu_state(spec, c), coeffs,
+                                  blocks[:3], use_pallas=False)
+
+
+def _run_nu_crossfade(spec, h1, h2, x, swap_block):
+    """Stream with h1, start a crossfade at ``swap_block``, then continue
+    with h2 — the exact sequence engine.session drives."""
+    c = h1.shape[0]
+    n = spec.block_length
+    c1 = NU.nu_coeffs(h1, spec, c)
+    c2 = NU.nu_coeffs(h2, spec, c)
+    st = NU.init_nu_state(spec, c)
+    blocks = x.reshape(c, -1, n).transpose(1, 0, 2)
+    outs = []
+    in_transition = False
+    for b in range(blocks.shape[0]):
+        blk = jnp.asarray(blocks[b])
+        phase = int(st.head.blockcounter) % spec.ratio
+        fired = phase == spec.ratio - 1
+        if b == swap_block:
+            st, y = NU.step_nu_crossfade(st, c1, c2, blk, head_ramp=True,
+                                         use_pallas=False)
+            in_transition = not fired
+        elif in_transition:
+            st, y = NU.step_nu_crossfade(st, c1, c2, blk, head_ramp=False,
+                                         use_pallas=False)
+            in_transition = not fired
+        else:
+            co = c1 if b < swap_block else c2
+            st, y = NU.step_nu(st, co, blk, use_pallas=False)
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=1)
+
+
+def test_nu_crossfade_identity_is_plain_step():
+    """old == new collapses the crossfade to the plain engine."""
+    rng = np.random.default_rng(6)
+    spec = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2)
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    x = rng.standard_normal((c, 24 * spec.block_length)).astype(np.float32)
+    y = _run_nu_crossfade(spec, h, h, x, swap_block=9)
+    _, ref = _run_nu(spec, h, x, use_pallas=False)
+    np.testing.assert_allclose(y, ref, atol=1e-5 * np.abs(ref).max())
+
+
+def test_nu_crossfade_converges_to_new_filter():
+    """After the transition (head ramp + bridging tail fire + queue flush)
+    the stream is exactly the new filter's."""
+    rng = np.random.default_rng(7)
+    spec = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2)
+    c = 2
+    n, R, D = spec.block_length, spec.ratio, spec.delay_blocks
+    h1 = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    h2 = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    nblk = 48
+    x = rng.standard_normal((c, nblk * n)).astype(np.float32)
+    swap = 11
+    y = _run_nu_crossfade(spec, h1, h2, x, swap_block=swap)
+    _, ref2 = _run_nu(spec, h2, x, use_pallas=False)
+    # converged once the bridging M-block has been fully consumed and the
+    # head ring holds only post-swap history
+    settle = swap + R * (D + 2) + spec.p_head
+    np.testing.assert_allclose(
+        y[:, settle * n:], ref2[:, settle * n:],
+        atol=2e-5 * np.abs(ref2).max())
+
+
+def test_nu_crossfade_is_continuous():
+    """No sample-level glitch anywhere across the change: consecutive-sample
+    jumps stay at the steady-state scale of the smooth test signal."""
+    rng = np.random.default_rng(8)
+    spec = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2)
+    c = 2
+    n = spec.block_length
+    taps = spec.max_taps
+
+    def smooth_filter(seed):
+        r = np.random.default_rng(seed)
+        hh = r.standard_normal((c, taps)) * np.exp(-np.arange(taps) / 6.0)
+        return (hh / np.abs(hh).sum(axis=1, keepdims=True)).astype(np.float32)
+
+    h1, h2 = smooth_filter(1), smooth_filter(2)
+    t = np.arange(60 * n)
+    sig = np.sin(2 * np.pi * t / 37.0)
+    x = np.stack([sig, sig]).astype(np.float32)
+    y = _run_nu_crossfade(spec, h1, h2, x, swap_block=20)
+    _, ys = _run_nu(spec, h1, x, use_pallas=False)
+    steady = np.abs(np.diff(ys[:, 5 * n:], axis=1)).max()
+    trans = np.abs(np.diff(y[:, 5 * n:], axis=1)).max()
+    assert trans < 3 * steady, (trans, steady)
+
+
 def test_nu_geometry_helper():
     spec = NU.nu_geometry(131072, 1024, 8)
     assert spec.p_head == 16 and spec.m == 8192
