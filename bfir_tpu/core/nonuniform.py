@@ -58,8 +58,18 @@ class NuSpec:
     p_head: int = 16
     p_tail: int = 14
     dtype: str = "float32"
+    # storage dtype for the TAIL stage's ring + coefficient planes.
+    # "bfloat16" halves the tail's HBM traffic (the dominant term of the
+    # two-stage budget); the MAC still accumulates in f32. Precision class:
+    # the *tail* contribution carries ~56 dB SNR, so total output SNR is
+    # 56 dB + the tail's energy deficit (e.g. ~63 dB for a -7 dB-energy
+    # reverb tail) — an opt-in fast mode, not the default
+    tail_store: str = "float32"
 
     def __post_init__(self):
+        if self.tail_store not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"tail_store must be float32 or bfloat16, got {self.tail_store!r}")
         if self.ratio < 2 or (self.ratio & (self.ratio - 1)):
             raise ValueError(f"ratio must be a power of two >= 2, got {self.ratio}")
         if self.p_head % self.ratio:
@@ -108,14 +118,15 @@ class NuSpec:
 
 
 def nu_geometry(taps: int, block_length: int = 1024, ratio: int = 8,
-                dtype: str = "float32") -> NuSpec:
+                dtype: str = "float32",
+                tail_store: str = "float32") -> NuSpec:
     """Pick a two-stage geometry covering ``taps``: minimal head (D=2) and
     however many M-partitions the remainder needs."""
     p_head = 2 * ratio
     m = ratio * block_length
     rest = max(0, taps - p_head * block_length)
     p_tail = max(1, -(-rest // m))
-    return NuSpec(block_length, ratio, p_head, p_tail, dtype)
+    return NuSpec(block_length, ratio, p_head, p_tail, dtype, tail_store)
 
 
 class NuState(NamedTuple):
@@ -131,9 +142,12 @@ class NuState(NamedTuple):
 
 def init_nu_state(spec: NuSpec, n_channels: int) -> NuState:
     dt = jnp.dtype(spec.dtype)
+    tail = K.init_hc_state(spec.tail_spec, n_channels)
+    if spec.tail_store == "bfloat16":
+        tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))
     return NuState(
         head=K.init_hc_state(spec.head_spec, n_channels),
-        tail=K.init_hc_state(spec.tail_spec, n_channels),
+        tail=tail,
         inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
         pending=jnp.zeros((spec.delay_blocks, n_channels, spec.m), dtype=dt),
     )
@@ -156,9 +170,12 @@ def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
     taps = h.shape[-1]
     head_imp = h[:, : min(taps, t1)]
     tail_imp = h[:, t1:] if taps > t1 else jnp.zeros((h.shape[0], 1), h.dtype)
+    tail = K.hc_coeffs(tail_imp, spec.tail_spec, n_channels, scale, precise)
+    if spec.tail_store == "bfloat16":
+        tail = tail.astype(jnp.bfloat16)
     return NuCoeffs(
         head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise),
-        tail=K.hc_coeffs(tail_imp, spec.tail_spec, n_channels, scale, precise),
+        tail=tail,
     )
 
 
@@ -172,6 +189,10 @@ def _tail_mac(ring, coeff, pos, use_pallas: bool, interpret: bool,
         hp = ring.shape[-1]
         return K.mac_pallas_hc_tiled(ring, coeff, pos,
                                      tile=min(tile, hp), interpret=interpret)
+    # reference path: accumulate in f32 even for bf16-stored planes (same
+    # arithmetic as the kernel)
+    ring = ring.astype(jnp.float32) if ring.dtype == jnp.bfloat16 else ring
+    coeff = coeff.astype(jnp.float32) if coeff.dtype == jnp.bfloat16 else coeff
     return K.mac_reference_hc(ring[:, :c], ring[:, c:],
                               coeff[:, :c], coeff[:, c:], pos)
 
@@ -187,7 +208,8 @@ def _tail_step(state: K.HcState, coeff_pk, mblock, use_pallas, interpret):
     mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
     pos = jnp.mod(state.blockcounter, p)
     zero = jnp.zeros((), dtype=pos.dtype)
-    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    ring = jax.lax.dynamic_update_slice(
+        state.ring, xpk[None].astype(state.ring.dtype), (pos, zero, zero))
     yr, yi = _tail_mac(ring, coeff_pk, pos, use_pallas, interpret)
     out = F.irfft_split_hc(yr, yi, n=2 * m)[..., m:]
     return K.HcState(ring, mblock, state.blockcounter + 1), out
@@ -256,7 +278,8 @@ def _tail_step2(state: K.HcState, coeff_a, coeff_b, mblock, use_pallas,
     mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
     pos = jnp.mod(state.blockcounter, p)
     zero = jnp.zeros((), dtype=pos.dtype)
-    ring = jax.lax.dynamic_update_slice(state.ring, xpk[None], (pos, zero, zero))
+    ring = jax.lax.dynamic_update_slice(
+        state.ring, xpk[None].astype(state.ring.dtype), (pos, zero, zero))
     ya = _tail_mac(ring, coeff_a, pos, use_pallas, interpret)
     yb = _tail_mac(ring, coeff_b, pos, use_pallas, interpret)
     za = F.irfft_split_hc(ya[0], ya[1], n=2 * m)[..., m:]

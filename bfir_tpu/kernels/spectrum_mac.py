@@ -517,7 +517,10 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
 
     p, c2, hp = ring_pk.shape
     c = c2 // 2
-    dt = ring_pk.dtype
+    # reduced-precision storage (bfloat16 ring/coeff) still accumulates in
+    # f32: the DMA halves, the arithmetic doesn't change
+    dt = (jnp.float32 if ring_pk.dtype in (jnp.bfloat16, jnp.float16)
+          else ring_pk.dtype)
     if hp % tile:
         raise ValueError(f"freq tile {tile} must divide Hp {hp}")
     nf = hp // tile
@@ -525,10 +528,10 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
     def kernel(pos_ref, r, g, yr, yi):
         f = pl.program_id(0)
         i = pl.program_id(1)
-        rr = r[0, :c, :]
-        ri = r[0, c:, :]
-        cr = g[0, :c, :]
-        ci = g[0, c:, :]
+        rr = r[0, :c, :].astype(dt)
+        ri = r[0, c:, :].astype(dt)
+        cr = g[0, :c, :].astype(dt)
+        ci = g[0, c:, :].astype(dt)
         p1 = cr * rr
         p2 = ci * ri
         dc = jnp.logical_and(
