@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute path (default auto: halfcomplex Pallas on "
                         "TPU, complex jnp on CPU, df64 'extended' for "
                         "float64 on f64-less backends)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (skip any accelerator; useful "
+                        "when the device is busy or for reproducibility)")
     return p
 
 
@@ -99,6 +102,14 @@ def config_from_args(args) -> EngineConfig:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # must land before any backend init; the env var is consumed too
+        # early on images whose sitecustomize pins an accelerator platform
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if args.dtype == "float64":
+            jax.config.update("jax_enable_x64", True)
     audio, rate = wavio.read(args.input)
     cfg = config_from_args(args)
     if args.auto_attenuate:

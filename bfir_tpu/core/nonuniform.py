@@ -112,8 +112,9 @@ class NuSpec:
         the number the uniform engine pays P/(p_head + p_tail/R) times
         over."""
         it = jnp.dtype(self.dtype).itemsize
+        it_tail = jnp.dtype(self.tail_store).itemsize
         head = 2 * self.p_head * 2 * self.block_length * it
-        tail = 2 * self.p_tail * 2 * self.m * it // self.ratio
+        tail = 2 * self.p_tail * 2 * self.m * it_tail // self.ratio
         return (head + tail)  # per channel
 
 
@@ -166,6 +167,13 @@ def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
     h = jnp.asarray(impulse)
     if h.ndim == 1:
         h = h[None, :]
+    if h.shape[-1] > spec.max_taps:
+        # mirror session._select_impl's explicit short-filter error: silent
+        # truncation would drop filter tail energy for direct library callers
+        # (the session always sizes the geometry via nu_geometry first)
+        raise ValueError(
+            f"impulse ({h.shape[-1]} taps) exceeds the geometry's "
+            f"max_taps ({spec.max_taps}); enlarge p_tail (nu_geometry does)")
     t1 = spec.p_head * spec.block_length
     taps = h.shape[-1]
     head_imp = h[:, : min(taps, t1)]

@@ -270,6 +270,12 @@ class EngineConfig:
     # coefficient build (engine/selfcheck.py); on failure the session falls
     # back to the next implementation instead of producing wrong audio
     self_check: bool = True
+    # tail-stage storage dtype for the nonuniform engine: "bfloat16" halves
+    # the tail's HBM traffic (MAC still accumulates f32) at a documented
+    # precision cost — the tail contribution carries ~56 dB SNR, so total
+    # output SNR is ~56 dB + the tail's energy deficit (core/nonuniform.py
+    # NuSpec.tail_store). Opt-in fast mode; ignored by other engine modes.
+    nu_tail_store: str = "float32"
 
     def __post_init__(self):
         if self.engine_mode not in ("auto", "complex", "packed", "hc", "nonuniform",
@@ -277,6 +283,9 @@ class EngineConfig:
             raise ValueError(
                 "engine_mode must be auto/complex/packed/hc/nonuniform/"
                 f"extended/sharded, got {self.engine_mode!r}")
+        if self.nu_tail_store not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"nu_tail_store must be float32 or bfloat16, got {self.nu_tail_store!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,10 @@ and direct users of ``check_stream``/``check_batch`` get an
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import tempfile
 from typing import Callable, Optional
 
 import numpy as np
@@ -35,6 +39,84 @@ DEFAULT_MIN_SNR_DB = 80.0
 
 class EngineSelfCheckError(RuntimeError):
     """A compiled engine graph failed its known-answer check."""
+
+
+# ---------------------------------------------------------------------------
+# Verdict cache (VERDICT r2 weak #6): the nonuniform check streams
+# (D+2)*R = 32 blocks through the compiled graph, which measured ~104 s of
+# TPU time at session init on a slow tunnel. The observed miscompiles are
+# DETERMINISTIC per (backend, jax version, compute source, graph shape,
+# coefficients) — bit-identical wrong results, not noise (CLAUDE.md) — so a
+# verdict can be cached under a key covering exactly those inputs. Any
+# change to the compute-path source files invalidates every entry.
+# ---------------------------------------------------------------------------
+
+
+_SOURCE_FINGERPRINT = None
+
+
+def _source_fingerprint() -> str:
+    """Hash of every compute-path source file (kernels/core/ops)."""
+    global _SOURCE_FINGERPRINT
+    if _SOURCE_FINGERPRINT is None:
+        import bfir_tpu
+
+        root = os.path.dirname(os.path.abspath(bfir_tpu.__file__))
+        h = hashlib.sha256()
+        for sub in ("kernels", "core", "ops"):
+            d = os.path.join(root, sub)
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".py"):
+                    with open(os.path.join(d, name), "rb") as f:
+                        h.update(name.encode())
+                        h.update(f.read())
+        _SOURCE_FINGERPRINT = h.hexdigest()
+    return _SOURCE_FINGERPRINT
+
+
+def cache_key(impl: str, impulse: np.ndarray, spec: FilterSpec,
+              n_channels: int, n_blocks: int, min_snr_db: float,
+              extra: str = "") -> str:
+    """Stable verdict-cache key; see the miscompile-determinism note above."""
+    import jax
+
+    dev = jax.devices()[0]
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(np.asarray(impulse, dtype=np.float64)).tobytes())
+    h.update(repr((impl, spec, n_channels, n_blocks, round(min_snr_db, 3),
+                   extra, impulse.shape)).encode())
+    h.update(f"{jax.__version__}|{jax.default_backend()}|"
+             f"{getattr(dev, 'device_kind', '?')}".encode())
+    h.update(_source_fingerprint().encode())
+    return h.hexdigest()[:24]
+
+
+def load_verdict(cache_file: Optional[str], key: str):
+    """Return the cached {"snr": float, "ok": bool} verdict or None."""
+    if not cache_file or not os.path.exists(cache_file):
+        return None
+    try:
+        with open(cache_file) as f:
+            return json.load(f).get(key)
+    except Exception:
+        return None
+
+
+def store_verdict(cache_file: Optional[str], key: str, snr: float, ok: bool) -> None:
+    if not cache_file:
+        return
+    try:
+        data = {}
+        if os.path.exists(cache_file):
+            with open(cache_file) as f:
+                data = json.load(f)
+        data[key] = {"snr": float(snr), "ok": bool(ok)}
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache_file) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, cache_file)  # atomic vs concurrent sessions
+    except Exception as e:  # cache failures must never break the engine
+        pinfo("Self-check verdict cache write failed (%s).", e)
 
 
 def _oracle(x: np.ndarray, impulse: np.ndarray) -> np.ndarray:
@@ -74,6 +156,8 @@ def check_stream(
     n_blocks: int = 3,
     min_snr_db: float = DEFAULT_MIN_SNR_DB,
     label: str = "step",
+    cache_file: Optional[str] = None,
+    cache_extra: str = "",
 ) -> float:
     """Run ``n_blocks`` of seeded noise through ``step_call(state, coeffs,
     block)`` (the exact production callable: jitted, on the production
@@ -82,7 +166,31 @@ def check_stream(
     ``EngineSelfCheckError`` below ``min_snr_db``.
 
     ``impulse`` must be the already-scaled impulse the coefficients were
-    built from ([C, taps] or [taps])."""
+    built from ([C, taps] or [taps]). With ``cache_file``, a previous
+    verdict for the identical (backend, source, geometry, coefficients)
+    tuple short-circuits the run — pass ``cache_extra`` for geometry not
+    captured by ``spec`` (e.g. the nonuniform NuSpec)."""
+
+    def _refuse(snr):
+        raise EngineSelfCheckError(
+            f"known-answer check FAILED for {label}: worst-channel SNR "
+            f"{snr:.1f} dB < {min_snr_db:.0f} dB (geometry: C={n_channels}, "
+            f"N={spec.block_length}, P={spec.n_partitions}, {spec.dtype}) — "
+            "refusing this compiled graph (possible backend miscompile; "
+            "see core/convolver.process_batch docstring)"
+        )
+
+    key = None
+    if cache_file:
+        key = cache_key(label, np.atleast_2d(impulse), spec, n_channels,
+                        n_blocks, min_snr_db, extra=cache_extra)
+        verdict = load_verdict(cache_file, key)
+        if verdict is not None:
+            if verdict["ok"]:
+                pinfo("Self-check (%s): cached pass, worst-channel SNR "
+                      "%.1f dB.", label, verdict["snr"])
+                return float(verdict["snr"])
+            _refuse(verdict["snr"])
     rng = np.random.default_rng(0xB51C)
     n = spec.block_length
     x = rng.standard_normal((n_channels, n_blocks * n)).astype(spec.dtype)
@@ -93,14 +201,11 @@ def check_stream(
         outs.append(np.asarray(out))
     y = np.concatenate(outs, axis=1).astype(np.float64)
     snr = _worst_snr_db(y, _oracle(x, impulse))
-    if not np.isfinite(snr) or snr < min_snr_db:
-        raise EngineSelfCheckError(
-            f"known-answer check FAILED for {label}: worst-channel SNR "
-            f"{snr:.1f} dB < {min_snr_db:.0f} dB (geometry: C={n_channels}, "
-            f"N={spec.block_length}, P={spec.n_partitions}, {spec.dtype}) — "
-            "refusing this compiled graph (possible backend miscompile; "
-            "see core/convolver.process_batch docstring)"
-        )
+    ok = np.isfinite(snr) and snr >= min_snr_db
+    if key is not None:
+        store_verdict(cache_file, key, snr, ok)
+    if not ok:
+        _refuse(snr)
     pinfo("Self-check (%s): worst-channel SNR %.1f dB.", label, snr)
     return snr
 

