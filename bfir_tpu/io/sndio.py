@@ -7,6 +7,8 @@ buffer.cpp:37-139). This module dispatches on the file's magic bytes:
 - RIFF/WAVE  -> io.wavio (own parser; PCM u8..s32, f32/f64, EXTENSIBLE)
 - fLaC       -> io.flacio (own pure-python decoder, CRC+MD5 verified)
 - FORM/AIFF  -> io.aiffio (PCM BE/LE, AIFF-C float32/64)
+- .snd (AU)  -> io.auio (PCM/float/mu-law/a-law)
+- caff (CAF) -> io.cafio (linear PCM/float)
 - anything else -> optional ``soundfile`` if installed, otherwise a clear
   error NAMING the detected format (VERDICT r1 next #7).
 
@@ -26,8 +28,6 @@ _MAGIC_NAMES = {
     b"\xff\xfb": "MP3",
     b"\xff\xf1": "AAC (ADTS)",
     b"\xff\xf9": "AAC (ADTS)",
-    b"caff": "Core Audio (CAF)",
-    b".snd": "AU/SND",
     b"MAC ": "Monkey's Audio (APE)",
     b"wvpk": "WavPack",
 }
@@ -49,6 +49,10 @@ def _sniff(path: str) -> str:
         return "flac"
     if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
+    if head[:4] == b".snd":
+        return "au"
+    if head[:4] == b"caff":
+        return "caf"
     for magic, name in _MAGIC_NAMES.items():
         if head.startswith(magic):
             return f"unsupported:{name}"
@@ -84,6 +88,14 @@ def read(path: str) -> Tuple[np.ndarray, int]:
         from bfir_tpu.io import aiffio
 
         return aiffio.read(path)
+    if kind == "au":
+        from bfir_tpu.io import auio
+
+        return auio.read(path)
+    if kind == "caf":
+        from bfir_tpu.io import cafio
+
+        return cafio.read(path)
     sf = _unsupported(path, kind)
     audio, rate = sf.read(path, dtype="float64", always_2d=True)
     return audio, rate
@@ -106,6 +118,16 @@ def read_info(path: str) -> SndInfo:
 
         ch, rate, frames, comp = aiffio.read_info(path)
         return SndInfo(ch, rate, frames, f"aiff/{comp.strip() or 'NONE'}")
+    if kind == "au":
+        from bfir_tpu.io import auio
+
+        i = auio.read_info(path)
+        return SndInfo(i.n_channels, i.sample_rate, i.n_frames, f"au/{i.encoding}")
+    if kind == "caf":
+        from bfir_tpu.io import cafio
+
+        i = cafio.read_info(path)
+        return SndInfo(i.n_channels, i.sample_rate, i.n_frames, f"caf/{i.encoding}")
     sf = _unsupported(path, kind)
     i = sf.info(path)
     return SndInfo(i.channels, i.samplerate, i.frames, i.format.lower())

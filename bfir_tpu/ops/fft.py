@@ -293,6 +293,102 @@ def _cfft_fourstep_r4(yr, yi, m: int, inverse: bool):
     return orr.reshape(*batch, m), oi.reshape(*batch, m)
 
 
+@functools.lru_cache(maxsize=32)
+def _r4_folded_weights(m: int, dtype: str, inverse: bool):
+    """Stage-1 DFT weights with the four-step twiddle FOLDED per j2 branch:
+    B_j2[j1, k1] = W_n1^{s j1 k1} * W_m^{s j2 k1} (s = sign). Stacked
+    [4, n1, n1]; using these as a batched matmul removes the separate
+    twiddle elementwise pass of ``_cfft_fourstep_r4`` entirely — one fewer
+    full sweep of the [.., m] intermediate through HBM."""
+    n1 = m // 4
+    j1 = np.arange(n1)[:, None]
+    k1 = np.arange(n1)[None, :]
+    sign = 2.0 if inverse else -2.0
+    base = sign * np.pi * j1 * k1 / n1  # W_n1^{±j1 k1}
+    out_r = np.empty((4, n1, n1), dtype=dtype)
+    out_i = np.empty((4, n1, n1), dtype=dtype)
+    for j2 in range(4):
+        tw = sign * np.pi * j2 * k1 / m  # W_m^{±j2 k1}
+        ang = base + tw
+        out_r[j2] = np.cos(ang)
+        out_i[j2] = np.sin(ang)
+    return out_r, out_i
+
+
+# 3-matmul (Karatsuba) complex multiply for the DFT stages: 25% fewer MXU
+# FLOPs than the 4-matmul form at the cost of two extra elementwise adds.
+# Off by default pending TPU measurement (the adds are extra HBM passes
+# unless XLA fuses them into the matmul epilogues).
+_KARATSUBA = False
+
+
+def set_karatsuba(on: bool) -> None:
+    global _KARATSUBA
+    _KARATSUBA = bool(on)
+
+
+def _bmatmul(a, b):
+    """Batched matmul [.., q, j] x [q, j, k] -> [q, .., k] (dot_general
+    leads with the batch dims; callers index the q axis first)."""
+    dn = (((a.ndim - 1,), (1,)), ((a.ndim - 2,), (0,)))
+    return jax.lax.dot_general(a, b, dn, precision=_MATMUL_PRECISION)
+
+
+def _cfft_fourstep_r4f(yr, yi, m: int, inverse: bool):
+    """``_cfft_fourstep_r4`` with the twiddle folded into per-j2 stage-1
+    weight matrices (see ``_r4_folded_weights``): the stage-1 matmul becomes
+    a batch-4 dot_general against [4, n1, n1] weights and the twiddle
+    multiply disappears. Optional Karatsuba 3-matmul complex multiply
+    (``set_karatsuba``). Same decomposition/indexing as _cfft_fourstep_r4."""
+    rdt = yr.dtype.name
+    n1 = m // 4
+    batch = yr.shape[:-1]
+    if len(batch) > 1:  # see _cfft_fourstep's flatten note (backend bug)
+        yr = yr.reshape(-1, m)
+        yi = yi.reshape(-1, m)
+    fb = yr.shape[:-1]
+    # [.., j2(4), j1(n1)]: j = j1*4 + j2
+    yr_t = jnp.swapaxes(yr.reshape(*fb, n1, 4), -1, -2)
+    yi_t = jnp.swapaxes(yi.reshape(*fb, n1, 4), -1, -2)
+    wr, wi = _r4_folded_weights(m, rdt, inverse)
+    # tables are raw cos/sin (no 1/n1 folded); the whole 1/m lands at the
+    # butterfly tail for the inverse
+    br = jnp.asarray(wr)
+    bi = jnp.asarray(wi)
+    if _KARATSUBA:
+        t1 = _bmatmul(yr_t, br)
+        t2 = _bmatmul(yi_t, bi)
+        t3 = _bmatmul(yr_t + yi_t, br + bi)
+        tr = t1 - t2
+        ti = t3 - t1 - t2
+    else:
+        tr = _bmatmul(yr_t, br) - _bmatmul(yi_t, bi)
+        ti = _bmatmul(yr_t, bi) + _bmatmul(yi_t, br)
+    # radix-4 butterfly over j2 (twiddle already applied): identical math to
+    # _cfft_fourstep_r4's tail; tr/ti are [j2(4), .., k1] (batch-led)
+    t0r, t1r, t2r, t3r = tr[0], tr[1], tr[2], tr[3]
+    t0i, t1i, t2i, t3i = ti[0], ti[1], ti[2], ti[3]
+    er, ei = t0r + t2r, t0i + t2i
+    fr_, fi_ = t0r - t2r, t0i - t2i
+    gr_, gi_ = t1r + t3r, t1i + t3i
+    hr_, hi_ = t1r - t3r, t1i - t3i
+    if inverse:
+        whr, whi = -hi_, hr_
+    else:
+        whr, whi = hi_, -hr_
+    s = (1.0 / m) if inverse else 1.0
+    x0r, x0i = er + gr_, ei + gi_
+    x1r, x1i = fr_ + whr, fi_ + whi
+    x2r, x2i = er - gr_, ei - gi_
+    x3r, x3i = fr_ - whr, fi_ - whi
+    orr = jnp.stack([x0r, x1r, x2r, x3r], axis=-2)  # [.., k2, k1]
+    oi = jnp.stack([x0i, x1i, x2i, x3i], axis=-2)
+    if inverse:
+        orr = orr * s
+        oi = oi * s
+    return orr.reshape(*batch, m), oi.reshape(*batch, m)
+
+
 def _cfft_pow2_last(zr, zi, h: int, inverse: bool):
     """Best pow2 complex FFT over the last axis: the radix-4-tail four-step
     when its big matmul is full-width (h//4 >= 128; TPU-measured 18.3 us vs

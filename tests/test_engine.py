@@ -523,3 +523,20 @@ def test_selfcheck_verdict_cache(cache, tmp_path, monkeypatch):
     sp3 = StreamProcessor(cfg2, cache)
     sp3.process(np.zeros((2, 256)))
     assert len(calls) > n_first, "new coefficients must re-run the check"
+
+
+def test_auto_mode_prefers_nonuniform_for_long_filters(monkeypatch, tmp_path):
+    """On non-CPU backends auto mode must pick the two-stage engine above
+    the partition threshold (VERDICT r2 next #4) and hc below it."""
+    import jax as _jax
+
+    cfg = make_config(tmp_path, dtype="float32")
+    sp = StreamProcessor(cfg, ArtifactCache(str(tmp_path / "p")))
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    sp.n_partitions = 128
+    assert sp._resolve_engine_mode() == "nonuniform"
+    sp.n_partitions = 8
+    assert sp._resolve_engine_mode() == "hc"
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    sp.n_partitions = 128
+    assert sp._resolve_engine_mode() == "complex"

@@ -8,6 +8,8 @@ numpy's FFT at tight tolerances.
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from bfir_tpu.ops import fft as F
 
 
@@ -138,3 +140,55 @@ def test_convolver_on_matmul_fft():
     y = np.asarray(out).transpose(1, 0, 2).reshape(2, -1)
     ref = np.stack([signal.fftconvolve(x[i], h)[: x.shape[-1]] for i in range(2)])
     np.testing.assert_allclose(y, ref, atol=1e-9)
+
+
+def test_cfft_fourstep_r4f_matches_numpy():
+    """Twiddle-folded radix-4 four-step (the round-3 bulk candidate): both
+    the 4-matmul and Karatsuba 3-matmul complex multiplies, fwd + inverse,
+    2D and 3D batches."""
+    rng = np.random.default_rng(40)
+    for m in (512, 2048):
+        for inv in (False, True):
+            zr = rng.standard_normal((6, m)).astype(np.float32)
+            zi = rng.standard_normal((6, m)).astype(np.float32)
+            ref = (np.fft.ifft if inv else np.fft.fft)(zr + 1j * zi, axis=-1)
+            for kar in (False, True):
+                F.set_karatsuba(kar)
+                try:
+                    orr, oi = F._cfft_fourstep_r4f(jnp.asarray(zr),
+                                                   jnp.asarray(zi), m, inv)
+                finally:
+                    F.set_karatsuba(False)
+                err = max(np.abs(np.asarray(orr) - ref.real).max(),
+                          np.abs(np.asarray(oi) - ref.imag).max())
+                assert err < 2e-5 * np.abs(ref).max(), (m, inv, kar)
+    zr = rng.standard_normal((3, 4, 512)).astype(np.float32)
+    zi = rng.standard_normal((3, 4, 512)).astype(np.float32)
+    ref = np.fft.fft(zr + 1j * zi, axis=-1)
+    orr, oi = F._cfft_fourstep_r4f(jnp.asarray(zr), jnp.asarray(zi), 512, False)
+    err = max(np.abs(np.asarray(orr) - ref.real).max(),
+              np.abs(np.asarray(oi) - ref.imag).max())
+    assert err < 2e-5 * np.abs(ref).max()
+
+
+def test_rfft_hc_pallas_interpret_matches_numpy():
+    """The whole-transform Pallas kernel (kernels/fft_pallas.py), interpret
+    mode: deinterleave + folded stage-1 + butterfly + untangle + hc pack in
+    one kernel."""
+    from bfir_tpu.kernels.fft_pallas import rfft_hc_pallas
+
+    rng = np.random.default_rng(41)
+    for shape, m in [((64, 2048), 2048), ((129, 2048), 2048), ((4, 4096), 4096)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        hr, hi = rfft_hc_pallas(jnp.asarray(x), m, interpret=True)
+        ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+        h = m // 2
+        ref_hr = ref.real[..., :h]
+        ref_hi = np.concatenate([ref.real[..., h:h + 1], ref.imag[..., 1:h]],
+                                axis=-1)
+        scale = np.abs(ref).max()
+        err = max(np.abs(np.asarray(hr) - ref_hr).max(),
+                  np.abs(np.asarray(hi) - ref_hi).max())
+        assert err < 2e-5 * scale, (shape, err / scale)
+    with pytest.raises(ValueError):
+        rfft_hc_pallas(jnp.zeros((4, 256)), 256, interpret=True)

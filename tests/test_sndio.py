@@ -305,3 +305,91 @@ def test_coeffio_load_sound_flac(tmp_path):
     h = coeffio.load_sound(p)
     assert h.shape == (2, 64)
     np.testing.assert_allclose(h, imp, atol=2 ** -22)
+
+
+# -- AU / CAF (round-3 additions: VERDICT r2 missing #3 tail) ---------------
+
+
+def _sine(frames=500, ch=2):
+    t = np.arange(frames)[:, None]
+    return 0.5 * np.sin(2 * np.pi * t * (np.arange(ch)[None, :] + 1) / 100.0)
+
+
+@pytest.mark.parametrize("enc,atol", [
+    ("s16", 2e-4), ("s24", 2e-6), ("s32", 1e-8),
+    ("float32", 1e-7), ("float64", 1e-15),
+])
+def test_au_roundtrip(tmp_path, enc, atol):
+    from bfir_tpu.io import auio, sndio
+
+    a = _sine()
+    p = str(tmp_path / f"x_{enc}.au")
+    auio.write(p, a, 44100, encoding=enc)
+    y, rate = sndio.read(p)  # via the magic-byte front door
+    assert rate == 44100
+    np.testing.assert_allclose(y, a, atol=atol)
+    info = sndio.read_info(p)
+    assert (info.n_channels, info.sample_rate, info.n_frames) == (2, 44100, 500)
+    assert info.format == f"au/{enc}"
+
+
+def test_au_mulaw_alaw(tmp_path):
+    """G.711 companded AU decodes exactly per audioop's reference decoder
+    (and within the 8-bit companded class of the original signal)."""
+    import struct
+    import warnings
+
+    from bfir_tpu.io import auio
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # audioop deprecation (3.13)
+        import audioop
+
+    a = _sine(400, 1)
+    x16 = np.clip(np.round(a[:, 0] * 32768), -32768, 32767).astype(np.int16)
+    for enc_code, lin2, law2lin in ((1, audioop.lin2ulaw, audioop.ulaw2lin),
+                                    (27, audioop.lin2alaw, audioop.alaw2lin)):
+        enc = lin2(x16.tobytes(), 2)
+        p = str(tmp_path / f"m{enc_code}.au")
+        with open(p, "wb") as f:
+            f.write(b".snd" + struct.pack(">IIIII", 24, len(enc), enc_code,
+                                          8000, 1))
+            f.write(enc)
+        y, rate = auio.read(p)
+        assert rate == 8000
+        ref = np.frombuffer(law2lin(enc, 2), dtype=np.int16) / 32768.0
+        np.testing.assert_allclose(y[:, 0], ref, atol=1e-12)
+        assert np.abs(y[:, 0] - a[:, 0]).max() < 0.03  # companded class
+
+
+@pytest.mark.parametrize("sub,atol", [
+    ("float32", 1e-7), ("float64", 1e-15), ("pcm16", 2e-4),
+])
+def test_caf_roundtrip(tmp_path, sub, atol):
+    from bfir_tpu.io import cafio, sndio
+
+    a = _sine()
+    p = str(tmp_path / f"x_{sub}.caf")
+    cafio.write(p, a, 48000, subtype=sub)
+    y, rate = sndio.read(p)
+    assert rate == 48000
+    np.testing.assert_allclose(y, a, atol=atol)
+    info = sndio.read_info(p)
+    assert (info.n_channels, info.sample_rate) == (2, 48000)
+    assert info.n_frames == 500
+
+
+def test_caf_rejects_compressed(tmp_path):
+    import struct
+
+    from bfir_tpu.io import cafio
+
+    p = str(tmp_path / "c.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"desc" + struct.pack(">q", 32))
+        f.write(struct.pack(">d4sIIIII", 44100.0, b"aac ", 0, 0, 1024, 2, 0))
+        f.write(b"data" + struct.pack(">q", 4))
+        f.write(struct.pack(">I", 0))
+    with pytest.raises(ValueError, match="codec"):
+        cafio.read(p)
