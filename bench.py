@@ -543,8 +543,10 @@ def main():
                         nustream.get("snr")) if v is not None]
     backend = batch.get("backend") or stream.get("backend") or "unknown"
 
-    value = max(stream_sps, batch_sps)
-    mode = "batch" if batch_sps >= stream_sps else "streaming"
+    nu_sps = nustream.get("sps", 0.0) or 0.0
+    value = max(stream_sps, batch_sps, nu_sps)
+    mode = {stream_sps: "streaming", batch_sps: "batch",
+            nu_sps: "nonuniform-streaming"}[value]
     realtime = 44100.0 * CHANNELS
     print(json.dumps({
         "metric": "audio samples/sec/chip, 64ch x 131072-tap partitioned conv "

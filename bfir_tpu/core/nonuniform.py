@@ -20,6 +20,16 @@ touched 1/R as often) with the SAME input->output latency N: the tail's
 first tap starts at offset D*M (D >= 2), so its contribution to an output
 block is computable R blocks before it is needed.
 
+Measured floor (TPU v5e-lite, 64 ch x 131072 taps, differential scans,
+worst-channel SNR 134 dB vs scipy): **0.100 ms/block** vs the uniform hc
+engine's 0.218 — a 2.2x win, close to the ~0.095 the traffic model
+implies. Round 2 measured 0.179: the gap was NOT scheduling but the tail
+TRANSFORM cost — the radix-4-tail four-step at M = 16384 (h = 8192) burns
+4·2·h·(h/4) = 134 MFLOP/row where the balanced split (factors 64/128,
+MXU-viable at this size) needs 12.6; ops.fft._R4_MAX_H now switches
+formulation by size (measured at [64, 16384]: fwd 145 us vs 380, inverse
+111 vs 370).
+
 Scheduling invariant (the correctness core): with the tail covering taps
 [D*M, D*M + P_tail*M) and a uniform overlap-save engine over M-blocks,
 tail output z[k] (computed the moment input M-block k completes) is the

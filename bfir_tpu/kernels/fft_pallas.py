@@ -54,6 +54,156 @@ def _untangle_tables(m: int, dtype: str):
     return twr[None, :], twi[None, :]
 
 
+@functools.lru_cache(maxsize=4)
+def _rev_matrix(t: int, dtype: str):
+    """Exchange (anti-identity) matrix [t, t]: x @ J reverses the lane axis
+    within a tile. Mosaic TPU has no `rev` primitive (probed 2026-08-21:
+    "Unimplemented primitive ... rev"); a permutation-matrix matmul is
+    EXACT in any float precision (one 1.0 per row) and rides the MXU."""
+    j = np.zeros((t, t), dtype=dtype)
+    j[np.arange(t), t - 1 - np.arange(t)] = 1.0
+    return j
+
+
+def _flip_lanes(x, jmat, tile: int = 128):
+    """jnp.flip(x, -1) for [r, h] with h % tile == 0, Mosaic-lowerable:
+    per-tile lane reversal via the exchange-matrix matmul + static
+    tile-order reversal."""
+    r, h = x.shape
+    nt = h // tile
+    xt = x.reshape(r, nt, tile)
+    rev = jax.lax.dot_general(
+        xt, jmat, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [r, nt, tile] lanes reversed
+    parts = [rev[:, nt - 1 - i, :] for i in range(nt)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
+def _tangle_tables(m: int, dtype: str):
+    """Conjugate half twiddle e^{+2 pi i k/m} for the irfft re-tangle."""
+    twr, twi = F._half_twiddle(m, dtype)
+    return twr[None, :], (-twi)[None, :]
+
+
+def irfft_hc_tail_pallas(hr: jax.Array, hi: jax.Array, n: int, *,
+                         rows_per_tile: int = 256,
+                         interpret: bool = False) -> jax.Array:
+    """``ops.fft.irfft_hc_tail``-equivalent (the overlap-save engine's
+    inverse: keep only samples [n/2, n)) as ONE Pallas kernel.
+
+    vs the production half-DFT tail basis (one [.., h] @ [h, h] matmul
+    pair = 4·h² real MACs/row) this runs the inverse four-step on the
+    re-tangled half-length complex sequence — 4·2·h·(h/4) = 2·h² MACs/row,
+    half the MXU work — with the tangle, butterflies, interleave and tail
+    selection all VMEM-resident. Same numerics class as
+    ops.fft.irfft_split_tail; subject to the absolute-verification protocol
+    before any engine wiring (that sliced four-step family has a known
+    miscompile history on this backend — CLAUDE.md).
+    """
+    from jax.experimental import pallas as pl
+
+    m = n
+    h = m // 2
+    n1 = h // 4
+    if m & (m - 1) or n1 < 128:
+        raise ValueError(f"irfft_hc_tail_pallas needs pow2 n with n//8 >= 128, got {m}")
+    batch = hr.shape[:-1]
+    hr2 = hr.reshape(-1, hr.shape[-1])[..., :h]
+    hi2 = hi.reshape(-1, hi.shape[-1])[..., :h]
+    r = hr2.shape[0]
+    tr = min(rows_per_tile, _round_up(r, 8))
+    rp = _round_up(r, tr)
+    if rp != r:
+        hr2 = jnp.pad(hr2, ((0, rp - r), (0, 0)))
+        hi2 = jnp.pad(hi2, ((0, rp - r), (0, 0)))
+    dt = hr2.dtype.name
+    wr, wi = F._r4_folded_weights(h, dt, inverse=True)  # [4, n1, n1] raw
+    twr, twi = _tangle_tables(m, dt)
+
+    prec = F._MATMUL_PRECISION
+
+    def kernel(hr_ref, hi_ref, br_ref, bi_ref, twr_ref, twi_ref, j_ref, o_ref):
+        xr_k = hr_ref[...]  # [tr, h]; lane 0 = DC.re
+        xi_k = hi_ref[...]  # lane 0 = Nyquist.re
+        # split planes -> full-spectrum A/D terms. X[h-k] for k=1..h-1 is
+        # flip+roll; lane 0 needs (DC, Ny) special handling:
+        #   A[0] = (DC + Ny)/2, D[0] = (DC - Ny)/2  (real)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, xr_k.shape, 1) == 0
+        dc = xr_k[:, :1]
+        ny = xi_k[:, :1]
+        # X[k] true planes for k >= 1: (xr_k, xi_k); X[0] = DC, X[h] = Ny
+        jmat = j_ref[...]
+        xr_rev = jnp.roll(_flip_lanes(xr_k, jmat), 1, axis=-1)  # X[h-k].re, k>=1
+        xi_rev = jnp.roll(_flip_lanes(xi_k, jmat), 1, axis=-1)
+        # at k=0 the rev lanes hold X[h-0]=X[h]: real = Ny, imag = 0
+        xr_rev = jnp.where(lane0, jnp.broadcast_to(ny, xr_k.shape), xr_rev)
+        xi_rev = jnp.where(lane0, 0.0, xi_rev)
+        xi_true = jnp.where(lane0, 0.0, xi_k)
+        xr_true = jnp.where(lane0, jnp.broadcast_to(dc, xr_k.shape), xr_k)
+        ar = 0.5 * (xr_true + xr_rev)
+        ai = 0.5 * (xi_true - xi_rev)
+        dr = 0.5 * (xr_true - xr_rev)
+        di = 0.5 * (xi_true + xi_rev)
+        tw_r = twr_ref[...]
+        tw_i = twi_ref[...]
+        er = tw_r * dr - tw_i * di
+        ei = tw_r * di + tw_i * dr
+        zr = ar - ei
+        zi = ai + er
+        # inverse four-step over z (length h): stage 1 batched over j2
+        z4r = zr.reshape(tr, n1, 4)
+        z4i = zi.reshape(tr, n1, 4)
+        ts = []
+        for j2 in range(4):
+            zjr = z4r[:, :, j2]
+            zji = z4i[:, :, j2]
+            br = br_ref[j2]
+            bi = bi_ref[j2]
+            ts.append((jnp.dot(zjr, br, precision=prec)
+                       - jnp.dot(zji, bi, precision=prec),
+                       jnp.dot(zjr, bi, precision=prec)
+                       + jnp.dot(zji, br, precision=prec)))
+        (t0r, t0i), (t1r, t1i), (t2r, t2i), (t3r, t3i) = ts
+        er_, ei_ = t0r + t2r, t0i + t2i
+        fr_, fi_ = t0r - t2r, t0i - t2i
+        gr_, gi_ = t1r + t3r, t1i + t3i
+        hr_, hi_ = t1r - t3r, t1i - t3i
+        whr, whi = -hi_, hr_  # +i * (h): inverse butterfly
+        s = 1.0 / h
+        # tail only: output sample index t = m/2 + .. corresponds to
+        # z index i = t/2 >= h/2, i.e. i2 in {2, 3}
+        x2r, x2i = (er_ - gr_) * s, (ei_ - gi_) * s
+        x3r, x3i = (fr_ - whr) * s, (fi_ - whi) * s
+        # interleave re/im and the two i2 branches:
+        # out[2*(i2*n1 + i1) - m/2 ...]: for i2=2: samples [0, 2*n1) of the
+        # tail; i2=3: samples [2*n1, 4*n1). Within a branch, sample pair
+        # (2*i1, 2*i1+1) = (re, im)
+        a2 = jnp.stack([x2r, x2i], axis=-1).reshape(tr, 2 * n1)
+        a3 = jnp.stack([x3r, x3i], axis=-1).reshape(tr, 2 * n1)
+        o_ref[...] = jnp.concatenate([a2, a3], axis=-1)
+
+    grid = (rp // tr,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, h), lambda i: (i, 0)),
+            pl.BlockSpec((tr, h), lambda i: (i, 0)),
+            pl.BlockSpec((4, n1, n1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((4, n1, n1), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((128, 128), lambda i: (0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((tr, h), lambda i: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((rp, h), hr2.dtype)],
+        interpret=interpret,
+    )(hr2, hi2, jnp.asarray(wr), jnp.asarray(wi),
+      jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(_rev_matrix(128, dt)))[0]
+    return out[:r].reshape(*batch, h)
+
+
 def rfft_hc_pallas(x: jax.Array, n: int | None = None, *,
                    rows_per_tile: int = 256,
                    interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
@@ -86,7 +236,7 @@ def rfft_hc_pallas(x: jax.Array, n: int | None = None, *,
 
     prec = F._MATMUL_PRECISION
 
-    def kernel(x_ref, br_ref, bi_ref, twr_ref, twi_ref, hr_ref, hi_ref):
+    def kernel(x_ref, br_ref, bi_ref, twr_ref, twi_ref, j_ref, hr_ref, hi_ref):
         xt = x_ref[...]  # [tr, m]
         x4 = xt.reshape(tr, n1, 8)  # j = j1*8 + (2*j2 + re/im)
         outs = []
@@ -113,8 +263,9 @@ def rfft_hc_pallas(x: jax.Array, n: int | None = None, *,
                               axis=-1)
         # untangle: X[k] = A[k] + W[k] B[k] with A/B from Z[k], Z*[h-k];
         # Z[h-k] = roll(flip(Z), 1) along lanes
-        zr_rev = jnp.roll(jnp.flip(zr_, axis=-1), 1, axis=-1)
-        zi_rev = jnp.roll(jnp.flip(zi_, axis=-1), 1, axis=-1)
+        jmat = j_ref[...]
+        zr_rev = jnp.roll(_flip_lanes(zr_, jmat), 1, axis=-1)
+        zi_rev = jnp.roll(_flip_lanes(zi_, jmat), 1, axis=-1)
         ar = 0.5 * (zr_ + zr_rev)
         ai = 0.5 * (zi_ - zi_rev)
         br_ = 0.5 * (zi_ + zi_rev)
@@ -139,6 +290,7 @@ def rfft_hc_pallas(x: jax.Array, n: int | None = None, *,
             pl.BlockSpec((4, n1, n1), lambda i: (0, 0, 0)),
             pl.BlockSpec((1, h), lambda i: (0, 0)),
             pl.BlockSpec((1, h), lambda i: (0, 0)),
+            pl.BlockSpec((128, 128), lambda i: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tr, h), lambda i: (i, 0)),
@@ -149,7 +301,8 @@ def rfft_hc_pallas(x: jax.Array, n: int | None = None, *,
             jax.ShapeDtypeStruct((rp, h), x2.dtype),
         ],
         interpret=interpret,
-    )(x2, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(twr), jnp.asarray(twi))
+    )(x2, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(twr), jnp.asarray(twi),
+      jnp.asarray(_rev_matrix(128, dt)))
     hr = hr[:r].reshape(*batch, h)
     hi = hi[:r].reshape(*batch, h)
     return hr, hi

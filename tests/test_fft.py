@@ -192,3 +192,19 @@ def test_rfft_hc_pallas_interpret_matches_numpy():
         assert err < 2e-5 * scale, (shape, err / scale)
     with pytest.raises(ValueError):
         rfft_hc_pallas(jnp.zeros((4, 256)), 256, interpret=True)
+
+
+def test_irfft_hc_tail_pallas_interpret_matches_numpy():
+    from bfir_tpu.kernels.fft_pallas import irfft_hc_tail_pallas
+
+    rng = np.random.default_rng(42)
+    for rows, m in [(64, 2048), (130, 2048), (8, 4096)]:
+        h = m // 2
+        hr = rng.standard_normal((rows, h)).astype(np.float32)
+        hi = rng.standard_normal((rows, h)).astype(np.float32)
+        ref = np.asarray(F.irfft_split_hc(jnp.asarray(hr), jnp.asarray(hi),
+                                          n=m))[:, h:]
+        out = irfft_hc_tail_pallas(jnp.asarray(hr), jnp.asarray(hi), m,
+                                   interpret=True)
+        err = np.abs(np.asarray(out) - ref).max()
+        assert err < 2e-5 * max(1.0, np.abs(ref).max()), (rows, m, err)
