@@ -315,11 +315,13 @@ def _r4_folded_weights(m: int, dtype: str, inverse: bool):
     return out_r, out_i
 
 
-# 3-matmul (Karatsuba) complex multiply for the DFT stages: 25% fewer MXU
+# 3-matmul (Karatsuba) complex multiply for the r4f stage-1: 25% fewer MXU
 # FLOPs than the 4-matmul form at the cost of two extra elementwise adds.
-# Off by default pending TPU measurement (the adds are extra HBM passes
-# unless XLA fuses them into the matmul epilogues).
-_KARATSUBA = False
+# TPU-measured 2026-08-21 (with the folded-twiddle r4f formulation):
+# rfft[64,2048] 14.8 us vs 18.0 (current r4) and [2048,2048] 225.8 vs
+# 255.7, at an engine-level cost of 1.2 dB worst-channel SNR (133.3 vs
+# 134.5 dB through the full hc streaming step vs scipy) — wired on.
+_KARATSUBA = True
 
 
 def set_karatsuba(on: bool) -> None:
@@ -408,7 +410,9 @@ def _cfft_pow2_last(zr, zi, h: int, inverse: bool):
     non-uniform engine's tail transform). Both formulations are TPU-verified
     vs numpy at the engine shapes (VERDICT r1 weak #4 resolution)."""
     if h % 4 == 0 and 128 <= h // 4 and h <= _R4_MAX_H:
-        return _cfft_fourstep_r4(zr, zi, h, inverse)
+        # folded-twiddle + (default) Karatsuba variant: TPU-measured 18%
+        # faster at the streaming shape, 12% at bulk, -1.2 dB engine SNR
+        return _cfft_fourstep_r4f(zr, zi, h, inverse)
     return _cfft_fourstep(zr, zi, h, inverse)
 
 
