@@ -270,6 +270,11 @@ class EngineConfig:
     # coefficient build (engine/selfcheck.py); on failure the session falls
     # back to the next implementation instead of producing wrong audio
     self_check: bool = True
+    # persist compiled executables to the profile dir (engine/wisdom.py —
+    # the FFTW-wisdom analogue, fftw_convolver.cpp:81-137; unlike the XLA
+    # compilation cache it covers Pallas/Mosaic kernels, skipping their
+    # cold compile on session re-opens)
+    use_wisdom: bool = True
     # tail-stage storage dtype for the nonuniform engine: "bfloat16" halves
     # the tail's HBM traffic (MAC still accumulates f32) at a documented
     # precision cost — the tail contribution carries ~56 dB SNR, so total

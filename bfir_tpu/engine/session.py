@@ -57,6 +57,18 @@ class StreamProcessor:
         partition axis (parallel.mesh.make_mesh)."""
         self.config = config
         self.cache = cache or ArtifactCache()
+        # FFTW-wisdom analogue (engine/wisdom.py): disk-cached compiled
+        # executables keyed by HLO fingerprint — skips the Mosaic kernel
+        # compile (which .jax_cache does NOT cover) on session re-opens
+        from bfir_tpu.engine.wisdom import Wisdom
+
+        # CPU executables AOT-compile against exact host CPU features and
+        # warn of SIGILL on reload; wisdom pays off on the accelerator
+        # (Mosaic kernels), so it is TPU-only by default
+        self._wisdom = Wisdom(self.cache.path("wisdom"),
+                              enable=(getattr(config, "use_wisdom", True)
+                                      and jax.default_backend() != "cpu"))
+        self._wjit = self._wisdom.jit
         self._mesh = mesh
         self._sharded = None
         self._channels = 0
@@ -67,8 +79,8 @@ class StreamProcessor:
         self._coeffs = None
         self._pending = None  # np [C, <N] partial input block
         self._lock = threading.RLock()
-        self._step = jax.jit(cv.step, donate_argnums=0)
-        self._xfade_step = jax.jit(cv.step_crossfade)
+        self._step = self._wjit(cv.step, donate_argnums=0)
+        self._xfade_step = self._wjit(cv.step_crossfade)
         self._xfade_packed = None
         self._pending_swap = None
         self._impl = "complex"
@@ -81,7 +93,7 @@ class StreamProcessor:
         self._dither_state = None
         self._overflow = None
         self._last_overflow = None
-        self._scan = jax.jit(cv.process_blocks, donate_argnums=0)
+        self._scan = self._wjit(cv.process_blocks, donate_argnums=0)
         self.reported_latency = 0  # parity: foo_dsp_bfir.cpp:372-375
         self.n_partitions = 0
         from bfir_tpu.utils.profiling import BlockTimer
@@ -321,11 +333,11 @@ class StreamProcessor:
             self._coeffs = K.pack_coeffs(built.impulse, fspec, self._channels,
                                          scale=built.scale)
             interp = jax.default_backend() == "cpu"
-            self._step_packed = jax.jit(
+            self._step_packed = self._wjit(
                 lambda s, g, blk: K.step_packed(s, g, blk, interpret=interp),
                 donate_argnums=0,
             )
-            self._scan_packed = jax.jit(
+            self._scan_packed = self._wjit(
                 lambda s, g, blocks: jax.lax.scan(
                     lambda st, blk: K.step_packed(st, g, blk, interpret=interp),
                     s, blocks),
@@ -342,7 +354,7 @@ class StreamProcessor:
             self._coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
                                        scale=built.scale, precise=precise)
             interp = jax.default_backend() == "cpu"
-            self._step_packed = jax.jit(
+            self._step_packed = self._wjit(
                 lambda s, g, blk: K.step_hc(s, g, blk, interpret=interp),
                 donate_argnums=0,
             )
@@ -350,7 +362,7 @@ class StreamProcessor:
             # TPU equivalent of the reference's "no per-block overhead" —
             # brutefir.cpp:244-343 is one in-process call per block; here one
             # dispatch per buffer, exactly the graph bench.py floor-measures)
-            self._scan_packed = jax.jit(
+            self._scan_packed = self._wjit(
                 lambda s, g, blocks: jax.lax.scan(
                     lambda st, blk: K.step_hc(st, g, blk, interpret=interp),
                     s, blocks),
@@ -377,17 +389,17 @@ class StreamProcessor:
                                         scale=built.scale, precise=precise)
             interp = jax.default_backend() == "cpu"
             up = not interp
-            self._step_packed = jax.jit(
+            self._step_packed = self._wjit(
                 lambda s, g, blk: NU.step_nu(s, g, blk, interpret=interp,
                                              use_pallas=up),
                 donate_argnums=0,
             )
-            self._scan_nu = jax.jit(
+            self._scan_nu = self._wjit(
                 lambda s, g, blocks: NU.process_blocks_nu(
                     s, g, blocks, interpret=interp, use_pallas=up),
                 donate_argnums=0,
             )
-            self._scan_nu_fast = jax.jit(
+            self._scan_nu_fast = self._wjit(
                 lambda s, g, blocks: NU.process_blocks_nu_fast(
                     s, g, blocks, interpret=interp, use_pallas=up),
                 donate_argnums=0,
@@ -403,11 +415,11 @@ class StreamProcessor:
                   "on an f32 backend).")
             self._coeffs = E.df_coeffs(built.impulse, fspec, self._channels,
                                        scale=built.scale)
-            self._step_packed = jax.jit(
+            self._step_packed = self._wjit(
                 lambda s, g, blk: E.step_df(s, g[0], g[1], blk),
                 donate_argnums=0,
             )
-            self._scan_packed = jax.jit(
+            self._scan_packed = self._wjit(
                 lambda s, g, blocks: jax.lax.scan(
                     lambda st, blk: E.step_df(st, g[0], g[1], blk), s, blocks),
                 donate_argnums=0,
@@ -482,7 +494,7 @@ class StreamProcessor:
 
             interp = jax.default_backend() == "cpu"
             up = not interp
-            mk = lambda hr: jax.jit(
+            mk = lambda hr: self._wjit(
                 lambda s, o, nw, blk: NU.step_nu_crossfade(
                     s, o, nw, blk, head_ramp=hr, interpret=interp,
                     use_pallas=up))
@@ -514,6 +526,14 @@ class StreamProcessor:
         guard runs one block behind the newest dispatch — SURVEY §7 hard
         part (b), VERDICT r2 weak #3). Returns False on NaN abort, with the
         offending raw block appended passthrough-style."""
+        # start all device->host copies before the first blocking read:
+        # fetches overlap instead of serializing one round-trip each
+        # (measured 17x on a remote-tunnel TPU: 13 vs 229 ms/fetch)
+        for _, dev in inflight:
+            try:
+                dev.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break  # non-jax output or backend without async copies
         for blk_np, dev in inflight:
             out_np = np.asarray(dev)
             if not np.isfinite(out_np[0, 0]):
@@ -618,14 +638,14 @@ class StreamProcessor:
                             if self._impl == "extended":
                                 from bfir_tpu.kernels import extended as E
 
-                                self._xfade_packed = jax.jit(E.step_df_crossfade)
+                                self._xfade_packed = self._wjit(E.step_df_crossfade)
                             else:
                                 from bfir_tpu.kernels import spectrum_mac as K
 
                                 xf = (K.step_hc_crossfade if self._impl == "hc"
                                       else K.step_packed_crossfade)
                                 interp = jax.default_backend() == "cpu"
-                                self._xfade_packed = jax.jit(
+                                self._xfade_packed = self._wjit(
                                     lambda s, o, nw, blk: xf(
                                         s, o, nw, blk, interpret=interp))
                         self._state, out = self._xfade_packed(

@@ -25,6 +25,25 @@ tests, and every production wiring MUST go through an absolute scipy check
 on the real TPU at the target shape before use (bench.py does this; the
 session's known-answer self-check guards the engine path).
 
+STATUS ON THE AXON BACKEND (probed 2026-08-21): **not compilable** — the
+remote Mosaic compile helper (tpu_compile_helper) crashes (HTTP 500) on
+several primitives these kernels need. Isolated per-op:
+
+  crash:  minor-dim reshape ([r,h] -> [r,nt,k]), jnp.stack+reshape
+          interleave, strided stores (o[:, 0::2] = ...), and some
+          large-weight dots; strided *reads* (x[:, 0::8]) fail client-side
+  ok:     contiguous 2D slices, lane concat, jnp.roll, jnp.dot
+          ([256,256]-class), broadcasted_iota/where, per-tile
+          exchange-matrix flips (_flip_lanes)
+
+A crash-free reformulation exists (permuted-spectrum output + permutation-
+matmul deinterleave) but its extra permutation matmuls cost ≈ the fusion
+gain (analysis in the r3 work log), so the XLA-composed r4f+Karatsuba path
+(ops.fft) remains the production transform on this backend. These kernels
+stay interpret-validated and ready for a backend whose Mosaic supports the
+ops (or a fixed compile helper); engine/wisdom.py removes the cold-compile
+obstacle that blocked such kernels in r2.
+
 Reference: FFTW's r2r halfcomplex transforms + measured-plan tuning
 (/root/reference/brutefir/fftw_convolver.cpp:187-212,653-695) — the
 "measured plan" role is played here by bench-driven selection between this
