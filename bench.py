@@ -2,14 +2,17 @@
 
 Measures the partitioned convolution engine at 64 channels x 131072 taps
 (128 partitions x 1024-sample blocks, float32) on one chip and prints ONE
-JSON line. Two paths are measured:
+JSON line. Four paths are measured:
 
-- streaming: one block per dispatch through the Pallas split-plane step
-  (the one-block-latency mode; p50 dispatch latency reported on stderr)
-- batch: `process_batch` (block-axis FFT over 128 blocks per dispatch, the
-  offline/bulk mode)
+- streaming: per-block dispatch through the halfcomplex Pallas step, both
+  sync (p50 latency) and pipelined-with-async-fetch (the session's actual
+  dispatch pattern), plus the differential device floor
+- nustream: the two-stage non-uniform engine (the auto mode for long
+  filters; measured 0.100 ms/block device floor vs 0.218 uniform)
+- batch: `process_batch` (block-axis FFT over 240 blocks per dispatch)
+- fft: transform microbench with measured-peak rooflines
 
-"value" is the better path's throughput in audio samples (frames x
+"value" is the best path's throughput in audio samples (frames x
 channels) per second. The reference publishes no numbers (BASELINE.md), so
 "vs_baseline" is the real-time factor: value / (44100 Hz * 64 ch). Output
 correctness is spot-checked against scipy each run; a failed check zeroes
@@ -455,11 +458,12 @@ def bench_fft(spec, jnp, jax, n_iters):
         # arithmetic intensity keeps it MXU-bound at any batch). frac_mm
         # measures what IS controllable: whether the transform's actual
         # matmul work runs at the chip's measured matmul peak.
-        # actual matmul FLOPs (r4 four-step on the real-packed half size):
+        # actual matmul FLOPs (r4f four-step on the real-packed half size;
+        # Karatsuba default = 3 real matmuls per complex product, fft.py)
         h = m // 2
         n1 = h // 4
-        mm_flops = rows * (4 * 2 * h * n1      # [.., 4, n1] @ [n1, n1] x4
-                           + 8 * h             # twiddle cmul
+        n_mm = 3 if F._KARATSUBA else 4
+        mm_flops = rows * (n_mm * 2 * h * n1   # [.., 4, n1] @ [n1, n1]
                            + 4 * 2 * h)        # radix-4 butterflies ~
         t_roof_mm = max(min_bytes / bw_peak, mm_flops / flops_peak)
         frac_mm = t_roof_mm / t_meas

@@ -83,6 +83,38 @@ def main() -> None:
         assert err < 1e-9, f"mesh {cs}x{ps}: diverged from scipy by {err}"
         print(f"pid={pid} mesh {cs}x{ps} OK maxerr={err:.3e}", flush=True)
 
+        # hc-local composition across the same process boundary (round 3:
+        # the pod path runs the single-chip optimized kernels per shard)
+        from bfir_tpu.kernels import spectrum_mac as K
+        from bfir_tpu.parallel.sharded import _hc_chunk_reorder
+
+        spec32 = FilterSpec(block_length=spec.block_length,
+                            n_partitions=spec.n_partitions, dtype="float32")
+        h32 = h.astype(np.float32)
+        eng_hc = ShardedEngine(spec32, c, mesh, local_impl="hc")
+
+        def build_hc(hh):
+            co = K.hc_coeffs(hh, spec32, c)
+            p_, c2, hp = co.shape
+            return _hc_chunk_reorder(co.reshape(p_, 2, c2 // 2, hp),
+                                     mesh.shape["p"])
+
+        coeffs_hc = jax.jit(build_hc,
+                            out_shardings=eng_hc._coeff_sharding)(h32)
+        st_hc = eng_hc.init_state()
+        rep_hc = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        outs_hc = []
+        for b in range(nb):
+            blk_np = x[:, b * n : (b + 1) * n].astype(np.float32)
+            blk = jax.make_array_from_callback(
+                blk_np.shape, eng_hc._block_sharding, lambda idx: blk_np[idx])
+            st_hc, out = eng_hc.step(st_hc, coeffs_hc, blk)
+            outs_hc.append(np.asarray(rep_hc(out)))
+        y_hc = np.concatenate(outs_hc, axis=1)
+        err_hc = float(np.max(np.abs(y_hc - ref))) / max(1.0, np.abs(ref).max())
+        assert err_hc < 1e-5, f"mesh {cs}x{ps} hc: rel err {err_hc}"
+        print(f"pid={pid} mesh {cs}x{ps} hc OK relerr={err_hc:.3e}", flush=True)
+
     print("MULTIHOST_OK", flush=True)
 
 
