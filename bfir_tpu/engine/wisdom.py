@@ -51,13 +51,36 @@ class Wisdom:
     XLA persistent cache does not cover) or compiles-and-stores on a miss.
     """
 
-    def __init__(self, cache_dir: Optional[str], enable: bool = True):
+    # executables embed their constant operands (DFT weight matrices run to
+    # MBs each), and every compute-source change orphans old keys — bound
+    # the directory, evicting oldest-access first
+    DEFAULT_MAX_BYTES = 2 << 30
+
+    def __init__(self, cache_dir: Optional[str], enable: bool = True,
+                 max_bytes: int = DEFAULT_MAX_BYTES):
         self.dir = cache_dir
         self.enable = enable and cache_dir is not None
+        self.max_bytes = max_bytes
         if self.enable:
             os.makedirs(cache_dir, exist_ok=True)
         self.hits = 0
         self.misses = 0
+
+    def _evict(self) -> None:
+        try:
+            entries = []
+            for name in os.listdir(self.dir):
+                fp = os.path.join(self.dir, name)
+                st = os.stat(fp)
+                entries.append((st.st_atime, st.st_size, fp))
+            total = sum(e[1] for e in entries)
+            entries.sort()
+            while total > self.max_bytes and entries:
+                _, size, fp = entries.pop(0)
+                os.unlink(fp)
+                total -= size
+        except OSError:
+            pass
 
     def jit(self, fn, donate_argnums=(), static_argnums=()):
         jitted = jax.jit(fn, donate_argnums=donate_argnums,
@@ -142,6 +165,7 @@ class Wisdom:
             with os.fdopen(fd, "wb") as f:
                 pickle.dump((payload, in_tree, out_tree), f)
             os.replace(tmp, path)  # atomic vs concurrent sessions
+            self._evict()
         except Exception as e:
             pinfo("Wisdom store failed (%s); executable not cached.", e)
         return (compiled, False)

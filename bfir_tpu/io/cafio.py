@@ -58,10 +58,12 @@ def _parse(path: str, want_data: bool):
                     data = f.read() if payload_size is None else f.read(payload_size)
                 else:
                     pos = f.tell()
-                    f.seek(0, 2)
-                    end = f.tell()
-                    data = (end - pos) if payload_size is None else payload_size
-                    f.seek(pos + (data if isinstance(data, int) else 0))
+                    if payload_size is None:  # -1 size: data runs to EOF
+                        f.seek(0, 2)
+                        data = f.tell() - pos
+                    else:
+                        data = payload_size
+                        f.seek(pos + payload_size)
             else:
                 if size < 0:
                     break
