@@ -43,6 +43,13 @@ head covers all taps an output can touch before the first z lands.
 Everything is static-shape and cond/scan-friendly: one jitted step serves
 every phase (the tail MAC runs under ``lax.cond`` on phase R-1), so the
 step compiles once and streams like the uniform engines.
+
+Latency shape: per-block cost is uneven by construction — the phase-R-1
+block additionally runs the whole tail fire (~0.5 ms at the flagship
+geometry vs ~0.06 ms for other phases). Real-time budget per 1024-sample
+block at 44.1 kHz is 23.2 ms, so the spike is ~2% of budget (the fire
+could be spread across its R-block slack with a split-tail schedule if a
+tighter bound were ever needed; the amortized floor would not improve).
 """
 
 from __future__ import annotations
