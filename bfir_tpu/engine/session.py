@@ -521,11 +521,17 @@ class StreamProcessor:
         with self._lock:
             return self._process_locked(frames, sample_rate)
 
-    def _drain_inflight(self, inflight, outs) -> bool:
-        """Fetch pipelined block outputs in order, NaN-guarding each (the
-        guard runs one block behind the newest dispatch — SURVEY §7 hard
-        part (b), VERDICT r2 weak #3). Returns False on NaN abort, with the
-        offending raw block appended passthrough-style."""
+    # maximum blocks dispatched ahead of their output fetch: bounds device
+    # memory held by pending outputs (and pathological queue depth) on very
+    # long process() calls while keeping the fetch round-trips overlapped
+    MAX_INFLIGHT = 64
+
+    def _drain_inflight(self, inflight, outs, keep: int = 0) -> bool:
+        """Fetch pipelined block outputs in order (down to ``keep`` still
+        pending), NaN-guarding each (the guard runs at least one block
+        behind the newest dispatch — SURVEY §7 hard part (b), VERDICT r2
+        weak #3). Returns False on NaN abort, with the offending raw block
+        appended passthrough-style."""
         # start all device->host copies before the first blocking read:
         # fetches overlap instead of serializing one round-trip each
         # (measured 17x on a remote-tunnel TPU: 13 vs 229 ms/fetch)
@@ -534,7 +540,8 @@ class StreamProcessor:
                 dev.copy_to_host_async()
             except (AttributeError, RuntimeError):
                 break  # non-jax output or backend without async copies
-        for blk_np, dev in inflight:
+        while len(inflight) > keep:
+            blk_np, dev = inflight.pop(0)
             out_np = np.asarray(dev)
             if not np.isfinite(out_np[0, 0]):
                 pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
@@ -547,7 +554,6 @@ class StreamProcessor:
             outs.append(out_np)
             if self.config.overflow_warnings:
                 self.check_overflows()
-        inflight.clear()
         return True
 
     def _process_locked(self, frames, sample_rate=None) -> np.ndarray:
@@ -587,6 +593,13 @@ class StreamProcessor:
                 else:
                     self._state, out = self._step(self._state, self._coeffs, block)
                 inflight.append((block, out))
+                if len(inflight) >= self.MAX_INFLIGHT:
+                    # partial drain: fetch the older half, keep the pipeline
+                    # primed (fetches of the kept half stay overlapped)
+                    if not self._drain_inflight(inflight, outs,
+                                                keep=self.MAX_INFLIGHT // 2):
+                        self._pending = buf[:, :0]
+                        return np.concatenate(outs, axis=1)
                 continue
             # special (crossfade) block: flush the pipeline, then step
             # synchronously as before
