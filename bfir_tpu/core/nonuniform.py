@@ -464,3 +464,260 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
 
     st, ys = jax.lax.scan(mbody, state, mcycles)
     return st, ys.reshape(b, c, n)
+
+
+# ---------------------------------------------------------------------------
+# Three-stage partitioning: the two-stage schedule composed recursively.
+#
+# For very long filters (taps >> the flagship 131072 — e.g. 10 s cathedral
+# impulse responses at 44.1 kHz) the two-stage tail itself becomes the
+# traffic bottleneck: at 524288 taps its 62 M1-partitions cost ~1 MB per
+# channel per block amortized. The cure is the same medicine applied again:
+# the tail engine of ``step_nu`` is replaced by a full two-stage engine at
+# block size M1 (head p1 partitions at M1 + far stage at M2 = r2*M1 fired
+# every r2 M1-blocks). The scheduling invariant composes cleanly because
+# the inner engine — like the uniform tail it replaces — produces its
+# M1-block output with no extra latency: its own far stage hides inside
+# its own pending queue, whose D2 >= 2 slack is guaranteed by the inner
+# geometry (p1*M1 >= 2*M2), independent of the outer queue's D1 >= 2.
+#
+# The reference is strictly uniform-partition (brutefir.cpp:244-343); this
+# and the two-stage engine above are beyond-reference capability.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Nu3Spec:
+    """Three-stage geometry: outer head (p_head partitions at N) + an inner
+    two-stage ``NuSpec`` at block M1 = ratio1*N covering the rest."""
+
+    block_length: int
+    ratio1: int
+    p_head: int
+    inner: NuSpec
+
+    def __post_init__(self):
+        if self.ratio1 < 2 or (self.ratio1 & (self.ratio1 - 1)):
+            raise ValueError(f"ratio1 must be a power of two >= 2, got {self.ratio1}")
+        if self.p_head % self.ratio1:
+            raise ValueError(
+                f"p_head ({self.p_head}) must be a multiple of ratio1 ({self.ratio1})")
+        if self.delay_blocks < 2:
+            raise ValueError("outer head must cover >= 2 M1-blocks of taps")
+        if self.inner.block_length != self.ratio1 * self.block_length:
+            raise ValueError("inner block length must equal ratio1 * N")
+
+    @property
+    def m1(self) -> int:
+        return self.ratio1 * self.block_length
+
+    @property
+    def delay_blocks(self) -> int:
+        return self.p_head // self.ratio1
+
+    @property
+    def max_taps(self) -> int:
+        return self.p_head * self.block_length + self.inner.max_taps
+
+    @property
+    def head_spec(self) -> FilterSpec:
+        return FilterSpec(self.block_length, self.p_head, self.inner.dtype)
+
+    @property
+    def traffic_bytes_per_block(self) -> int:
+        it = jnp.dtype(self.inner.dtype).itemsize
+        head = 2 * self.p_head * 2 * self.block_length * it
+        return head + self.inner.traffic_bytes_per_block // self.ratio1
+
+
+def nu3_geometry(taps: int, block_length: int = 1024, ratio1: int = 8,
+                 ratio2: int = 8, dtype: str = "float32",
+                 tail_store: str = "float32") -> Nu3Spec:
+    """Minimal-head three-stage geometry covering ``taps``."""
+    p_head = 2 * ratio1
+    m1 = ratio1 * block_length
+    rest = max(1, taps - p_head * block_length)
+    inner = nu_geometry(rest, m1, ratio2, dtype, tail_store)
+    return Nu3Spec(block_length, ratio1, p_head, inner)
+
+
+class Nu3State(NamedTuple):
+    head: K.HcState
+    tail: NuState  # the inner two-stage engine at M1
+    inbuf: jax.Array  # [C, M1]
+    pending: jax.Array  # [D1, C, M1]
+
+
+def init_nu3_state(spec: Nu3Spec, n_channels: int) -> Nu3State:
+    dt = jnp.dtype(spec.inner.dtype)
+    return Nu3State(
+        head=K.init_hc_state(spec.head_spec, n_channels),
+        tail=init_nu_state(spec.inner, n_channels),
+        inbuf=jnp.zeros((n_channels, spec.m1), dtype=dt),
+        pending=jnp.zeros((spec.delay_blocks, n_channels, spec.m1), dtype=dt),
+    )
+
+
+class Nu3Coeffs(NamedTuple):
+    head: jax.Array  # [p_head, 2C, Hp]
+    tail: NuCoeffs  # inner two-stage coefficients
+
+
+def nu3_coeffs(impulse, spec: Nu3Spec, n_channels: int, scale: float = 1.0,
+               precise: bool = False) -> Nu3Coeffs:
+    h = jnp.asarray(impulse)
+    if h.ndim == 1:
+        h = h[None, :]
+    if h.shape[-1] > spec.max_taps:
+        raise ValueError(
+            f"impulse ({h.shape[-1]} taps) exceeds the geometry's "
+            f"max_taps ({spec.max_taps}); enlarge the far stage (nu3_geometry does)")
+    t1 = spec.p_head * spec.block_length
+    taps = h.shape[-1]
+    head_imp = h[:, : min(taps, t1)]
+    tail_imp = h[:, t1:] if taps > t1 else jnp.zeros((h.shape[0], 1), h.dtype)
+    return Nu3Coeffs(
+        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise),
+        tail=nu_coeffs(tail_imp, spec.inner, n_channels, scale, precise),
+    )
+
+
+def _step_nu_tiled_head(state: NuState, coeffs: NuCoeffs, block, use_pallas,
+                        interpret, phase=None):
+    """``step_nu`` with the HEAD stage run through the freq-tiled MAC +
+    four-step inverse (``_tail_step``): required when the head's own block
+    size is large (the inner engine of the 3-stage schedule runs its head
+    at M1 = 8192, where the untiled kernel's whole-plane VMEM blocks
+    overflow — see ``_tail_mac``). ``phase``: a static int pins the
+    fire/hold decision at trace time (no ``lax.cond``, no pass-through copy
+    of the far ring — the bulk form's requirement); None keeps the dynamic
+    cond of ``step_nu``."""
+    n = block.shape[-1]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio) if phase is None else phase
+
+    head, y_head = _tail_step(state.head, coeffs.head, block, use_pallas,
+                              interpret)
+
+    zero = jnp.zeros((), dtype=jnp.int32)
+    off = (r_phase * n if phase is None
+           else jnp.asarray(phase * n, dtype=jnp.int32))
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, off))
+    c = state.inbuf.shape[0]
+    tail_slice = jax.lax.dynamic_slice(state.pending[0], (zero, off), (c, n))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z = _tail_step(tail, coeffs.tail, inbuf, use_pallas, interpret)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    if phase is None:
+        tail, pending = jax.lax.cond(
+            r_phase == ratio - 1, fire, hold,
+            (state.tail, state.pending, inbuf))
+    elif phase == ratio - 1:
+        tail, pending = fire((state.tail, state.pending, inbuf))
+    else:
+        tail, pending = hold((state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return NuState(head, tail, inbuf, pending), out
+
+
+def step_nu3(
+    state: Nu3State,
+    coeffs: Nu3Coeffs,
+    block: jax.Array,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[Nu3State, jax.Array]:
+    """One N-block through the three-stage engine (outputs match the
+    uniform engine to fp rounding). Structure identical to ``step_nu``; the
+    fire at phase R1-1 runs ONE step of the inner two-stage engine on the
+    completed M1-block (which itself fires its far stage every r2 such
+    steps, under its own cond)."""
+    n = block.shape[-1]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+
+    head, y_head = K.step_hc(state.head, coeffs.head, block,
+                             interpret=interpret, use_pallas=use_pallas)
+
+    zero = jnp.zeros((), dtype=r_phase.dtype)
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, r_phase * n))
+    c = state.inbuf.shape[0]
+    tail_slice = jax.lax.dynamic_slice(
+        state.pending[0], (zero, r_phase * n), (c, n))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z = _step_nu_tiled_head(tail, coeffs.tail, inbuf, use_pallas,
+                                      interpret)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    tail, pending = jax.lax.cond(
+        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return Nu3State(head, tail, inbuf, pending), out
+
+
+def process_blocks_nu3(state: Nu3State, coeffs: Nu3Coeffs, blocks,
+                       interpret: bool = False, use_pallas: bool = True):
+    """lax.scan of ``step_nu3`` over [B, C, N] blocks; valid from any
+    phase. For M2-cycle-aligned bulk streams prefer
+    ``process_blocks_nu3_fast``."""
+
+    def body(st, blk):
+        return step_nu3(st, coeffs, blk, interpret=interpret,
+                        use_pallas=use_pallas)
+
+    return jax.lax.scan(body, state, blocks)
+
+
+def process_blocks_nu3_fast(state: Nu3State, coeffs: Nu3Coeffs, blocks,
+                            interpret: bool = False, use_pallas: bool = True):
+    """Cond-free bulk form: scan over SUPER-cycles of r1*r2 N-blocks with
+    every phase static — the outer head steps unroll, the inner engine
+    steps once per M1-cycle at a STATIC inner phase (so neither the M1 ring
+    nor the far ring is ever carried through an untaken ``lax.cond``
+    branch, whose pass-through copy is exactly what the two-stage macro
+    form exists to avoid). ``state`` must be at super-cycle phase 0 and B a
+    multiple of r1*r2 (caller-checked, like ``process_blocks_nu_fast``)."""
+    b, c, n = blocks.shape
+    r1 = state.inbuf.shape[-1] // n
+    r2 = state.tail.inbuf.shape[-1] // state.inbuf.shape[-1]
+    sup = r1 * r2
+    if b % sup:
+        raise ValueError(f"block count {b} not a multiple of r1*r2={sup}")
+    cycles = blocks.reshape(b // sup, r2, r1, c, n)
+
+    def sbody(st, sblocks):  # sblocks [r2, r1, C, N]
+        head, tail, inbuf, pending = st
+        outs = []
+        for j in range(r2):  # static inner phase j
+            for i in range(r1):  # static outer phase i
+                head, y = K.step_hc(head, coeffs.head, sblocks[j, i],
+                                    interpret=interpret, use_pallas=use_pallas)
+                outs.append(y + pending[0][:, i * n:(i + 1) * n])
+            inbuf = jnp.swapaxes(sblocks[j], 0, 1).reshape(c, r1 * n).astype(
+                inbuf.dtype)
+            tail, z = _step_nu_tiled_head(tail, coeffs.tail, inbuf,
+                                          use_pallas, interpret, phase=j)
+            pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return Nu3State(head, tail, inbuf, pending), jnp.stack(outs)
+
+    st, ys = jax.lax.scan(sbody, state, cycles)
+    return st, ys.reshape(b, c, n)

@@ -284,10 +284,10 @@ class EngineConfig:
 
     def __post_init__(self):
         if self.engine_mode not in ("auto", "complex", "packed", "hc", "nonuniform",
-                                    "extended", "sharded"):
+                                    "nonuniform3", "extended", "sharded"):
             raise ValueError(
                 "engine_mode must be auto/complex/packed/hc/nonuniform/"
-                f"extended/sharded, got {self.engine_mode!r}")
+                f"nonuniform3/extended/sharded, got {self.engine_mode!r}")
         if self.nu_tail_store not in ("float32", "bfloat16"):
             raise ValueError(
                 f"nu_tail_store must be float32 or bfloat16, got {self.nu_tail_store!r}")

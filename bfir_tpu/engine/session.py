@@ -154,6 +154,14 @@ class StreamProcessor:
                 self._active = False
             return
         fspec = self._runtime_filter_spec
+        if self._impl == "nonuniform3":
+            # three-stage crossfade not implemented: a live change takes a
+            # full rebuild (the reference's own behavior for every change,
+            # foo_dsp_bfir.cpp:112-140); glitch-free swap stays available on
+            # the other five engine paths
+            self._channels = 0
+            self._pending_swap = None
+            return
         if self._impl == "sharded":
             new_coeffs = self._sharded.prepare_coeffs(built.impulse, scale=built.scale)
         elif self._impl == "packed":
@@ -208,6 +216,12 @@ class StreamProcessor:
             # coverage to amortize its tail transforms; below that the
             # uniform hc engine is the right call. A failed build or
             # self-check falls through to hc automatically (_initialize).
+            if self.n_partitions >= 256:
+                # very long filters: the two-stage tail itself dominates;
+                # the recursively composed three-stage schedule wins
+                # (core/nonuniform.py Nu3Spec; falls back to 'nonuniform'
+                # on any build/self-check failure)
+                return "nonuniform3"
             if self.n_partitions >= 32:
                 return "nonuniform"
             # hc (halfcomplex packed Pallas kernel) is the TPU default: same
@@ -235,6 +249,10 @@ class StreamProcessor:
 
             self._state = NU.init_nu_state(self._nuspec, self._channels)
             self._nu_old = None
+        elif self._impl == "nonuniform3":
+            from bfir_tpu.core import nonuniform as NU
+
+            self._state = NU.init_nu3_state(self._nuspec, self._channels)
         elif self._impl == "sharded":
             self._state = self._sharded.init_state()
         else:
@@ -279,7 +297,8 @@ class StreamProcessor:
         # philosophy: convolver_verify_cbuf, fftw_convolver.cpp:569-602).
         first = self._resolve_engine_mode()
         chain = {"extended": ["hc", "packed"], "hc": ["packed"],
-                 "nonuniform": ["hc", "packed"]}
+                 "nonuniform": ["hc", "packed"],
+                 "nonuniform3": ["nonuniform", "hc", "packed"]}
         candidates = list(dict.fromkeys(
             [first] + chain.get(first, []) + ["complex"]))
         for impl in candidates:
@@ -408,6 +427,48 @@ class StreamProcessor:
             init_state = lambda: NU.init_nu_state(nuspec, self._channels)
             pinfo("Engine: non-uniform partitions (head %u x %u + tail "
                   "%u x %u).", nuspec.p_head, n, nuspec.p_tail, nuspec.m)
+        elif impl == "nonuniform3":
+            from bfir_tpu.core import nonuniform as NU
+
+            n = fspec.block_length
+            taps = fspec.n_partitions * n
+            nuspec = NU.nu3_geometry(taps, n, ratio1=8, ratio2=8,
+                                     dtype=fspec.dtype,
+                                     tail_store=self.config.nu_tail_store)
+            # only pay three stages when the filter outgrows what the
+            # two-stage inner head alone would cover
+            two_stage_head = nuspec.p_head * n + nuspec.inner.p_head * nuspec.m1
+            if taps <= two_stage_head:
+                raise ValueError(
+                    f"filter ({taps} taps) too short for the three-stage "
+                    f"engine (two stages cover {two_stage_head})")
+            self._nuspec = nuspec
+            precise = self.config.filter.dtype == "float64"
+            self._coeffs = NU.nu3_coeffs(built.impulse, nuspec, self._channels,
+                                         scale=built.scale, precise=precise)
+            interp = jax.default_backend() == "cpu"
+            up = not interp
+            self._step_packed = self._wjit(
+                lambda s, g, blk: NU.step_nu3(s, g, blk, interpret=interp,
+                                              use_pallas=up),
+                donate_argnums=0,
+            )
+            self._scan_nu = self._wjit(
+                lambda s, g, blocks: NU.process_blocks_nu3(
+                    s, g, blocks, interpret=interp, use_pallas=up),
+                donate_argnums=0,
+            )
+            self._scan_nu_fast = self._wjit(
+                lambda s, g, blocks: NU.process_blocks_nu3_fast(
+                    s, g, blocks, interpret=interp, use_pallas=up),
+                donate_argnums=0,
+            )
+            step_call = self._step_packed
+            init_state = lambda: NU.init_nu3_state(nuspec, self._channels)
+            pinfo("Engine: three-stage non-uniform partitions (head %u x %u "
+                  "+ mid %u x %u + far %u x %u).",
+                  nuspec.p_head, n, nuspec.inner.p_head, nuspec.m1,
+                  nuspec.inner.p_tail, nuspec.inner.m)
         elif impl == "extended":
             from bfir_tpu.kernels import extended as E
 
@@ -437,14 +498,22 @@ class StreamProcessor:
             # the non-uniform engine's tail only reaches the output after
             # (D+1) tail fires: stream enough blocks that a tail-stage
             # miscompile cannot hide behind a correct head
-            n_blocks = (3 if impl != "nonuniform"
-                        else (self._nuspec.delay_blocks + 2) * self._nuspec.ratio)
+            if impl == "nonuniform":
+                n_blocks = (self._nuspec.delay_blocks + 2) * self._nuspec.ratio
+            elif impl == "nonuniform3":
+                # enough blocks that the FAR stage's first pending output
+                # has landed: inner warm-up in M1-blocks, times r1
+                inner = self._nuspec.inner
+                n_blocks = ((inner.delay_blocks + 2) * inner.ratio
+                            + self._nuspec.delay_blocks) * self._nuspec.ratio1
+            else:
+                n_blocks = 3
             # a bfloat16 tail store legitimately sits near ~56 dB + the
             # tail's energy deficit (NuSpec.tail_store doc) — the default
             # 80 dB gate would silently demote it to 'hc'. A miscompile is
             # still O(1) wrong (~4 dB), so 35 dB keeps the guard honest.
-            min_snr = (35.0 if impl == "nonuniform"
-                       and self._nuspec.tail_store == "bfloat16"
+            min_snr = (35.0 if impl in ("nonuniform", "nonuniform3")
+                       and self.config.nu_tail_store == "bfloat16"
                        else selfcheck.DEFAULT_MIN_SNR_DB)
             selfcheck.check_stream(step_call, init_state, self._coeffs, scaled,
                                    fspec, n_channels, n_blocks=n_blocks,
@@ -452,7 +521,9 @@ class StreamProcessor:
                                    label=f"engine '{impl}'",
                                    cache_file=self.cache.path("selfcheck-cache.json"),
                                    cache_extra=(repr(self._nuspec)
-                                                if impl == "nonuniform" else ""))
+                                                if impl in ("nonuniform",
+                                                            "nonuniform3")
+                                                else ""))
         self._init_runtime_state()
 
     @property
@@ -586,7 +657,8 @@ class StreamProcessor:
                 if t_pipe0 is None:
                     t_pipe0 = _time.perf_counter()
                 n_pipe += 1
-                if self._impl in ("packed", "hc", "extended", "nonuniform"):
+                if self._impl in ("packed", "hc", "extended", "nonuniform",
+                                  "nonuniform3"):
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
                 elif self._impl == "sharded":
                     self._state, out = self._sharded.step(self._state, self._coeffs, block)
@@ -728,6 +800,13 @@ class StreamProcessor:
         if self._impl == "sharded":
             self._state, outs = self._sharded.process_blocks(
                 self._state, self._coeffs, jax.numpy.asarray(blocks))
+        elif self._impl == "nonuniform3":
+            sup = self._nuspec.ratio1 * self._nuspec.inner.ratio
+            aligned = (int(np.asarray(self._state.head.blockcounter)) % sup == 0
+                       and n_blocks % sup == 0)
+            scan = self._scan_nu_fast if aligned else self._scan_nu
+            self._state, outs = scan(self._state, self._coeffs,
+                                     jax.numpy.asarray(blocks))
         elif self._impl == "nonuniform":
             # M-cycle-aligned bulk work takes the cond-free macro scan
             # (identical outputs; no per-block tail-state pass-through)

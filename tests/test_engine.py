@@ -540,3 +540,80 @@ def test_auto_mode_prefers_nonuniform_for_long_filters(monkeypatch, tmp_path):
     monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
     sp.n_partitions = 128
     assert sp._resolve_engine_mode() == "complex"
+
+
+def test_session_nonuniform3_engine_mode(cache, tmp_path):
+    """engine_mode="nonuniform3": the recursively composed three-stage
+    engine behind the session surface, including the bulk scan and the
+    rebuild-on-reconfigure divergence (no three-stage crossfade yet)."""
+    import dataclasses
+
+    rng = np.random.default_rng(61)
+    taps = 40000  # > two-stage coverage at block 256 (16*256 + 16*2048)
+    h = (rng.standard_normal((2, taps)) *
+         np.exp(-np.arange(taps) / 9000.0)) * 0.05
+    p = save_impulse(tmp_path, "hnu3.wav", h)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="nonuniform3")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 160 * 256)).astype(np.float32)
+    y = sp.process(x)
+    assert sp._impl == "nonuniform3", sp._impl
+    assert sp._nuspec.inner.block_length == 8 * 256
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
+
+    # bulk path: super-cycle-aligned buffers take the cond-free scan
+    sp.reset()
+    x2 = rng.standard_normal((2, 128 * 256)).astype(np.float32)  # 2 supers
+    y2 = sp.process_buffer(x2)
+    ref2 = np.stack([signal.fftconvolve(x2[c], h[c])[: y2.shape[1]]
+                     for c in range(2)])
+    snr2 = 10 * np.log10(float((ref2**2).sum()) / float(((y2 - ref2)**2).sum()))
+    assert snr2 > 100, snr2
+
+    # reconfigure: full rebuild (no crossfade on the three-stage path)
+    h2 = h * 0.5
+    p2 = save_impulse(tmp_path, "hnu3b.wav", h2)
+    sp.reconfigure(dataclasses.replace(
+        make_config(tmp_path, files=[(p2, 0, False)], dtype="float32"),
+        engine_mode="nonuniform3"))
+    assert sp._pending_swap is None
+    y3 = sp.process(x[:, :4 * 256])
+    assert sp._impl == "nonuniform3"
+    assert y3.shape == (2, 4 * 256)
+
+
+def test_session_nonuniform3_short_falls_back(cache, tmp_path):
+    """A filter two stages cover falls through to 'nonuniform'."""
+    import dataclasses
+
+    rng = np.random.default_rng(62)
+    h = rng.standard_normal((2, 20000)) * 0.05
+    p = save_impulse(tmp_path, "hns3.wav", h)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="nonuniform3")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 40 * 256))
+    y = sp.process(x)
+    assert sp._impl == "nonuniform", sp._impl
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
+
+
+def test_auto_mode_prefers_nonuniform3_for_very_long_filters(monkeypatch, tmp_path):
+    import jax as _jax
+
+    cfg = make_config(tmp_path, dtype="float32")
+    sp = StreamProcessor(cfg, ArtifactCache(str(tmp_path / "p3")))
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    sp.n_partitions = 256
+    assert sp._resolve_engine_mode() == "nonuniform3"
+    sp.n_partitions = 255
+    assert sp._resolve_engine_mode() == "nonuniform"

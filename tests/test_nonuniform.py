@@ -404,3 +404,124 @@ def test_nu_double_swap_bridges_original_tail():
     settle = swap2 + R * (D + 2) + spec.p_head
     np.testing.assert_allclose(y[:, settle * n:], ref[:, settle * n:],
                                atol=2e-5 * np.abs(ref).max())
+
+
+# -- three-stage (round 3: recursive composition) ---------------------------
+
+
+def _run_nu3(spec, h, x, **kw):
+    c = h.shape[0]
+    coeffs = NU.nu3_coeffs(h, spec, c)
+    st = NU.init_nu3_state(spec, c)
+    n = spec.block_length
+    blocks = jnp.asarray(x.reshape(c, -1, n).transpose(1, 0, 2))
+    st, out = NU.process_blocks_nu3(st, coeffs, blocks, **kw)
+    return st, np.asarray(out.transpose(1, 0, 2).reshape(c, -1))
+
+
+def test_nu3_matches_scipy():
+    rng = np.random.default_rng(50)
+    spec = NU.nu3_geometry(70, block_length=4, ratio1=2, ratio2=2)
+    assert spec.max_taps >= 70
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    x = rng.standard_normal((c, 64 * spec.block_length)).astype(np.float32)
+    _, y = _run_nu3(spec, h, x, use_pallas=False)
+    ref = _scipy_ref(h, x, y.shape[1])
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err
+
+
+def test_nu3_partial_taps():
+    """Impulse ending mid far-partition; all three stages partially used."""
+    rng = np.random.default_rng(51)
+    spec = NU.nu3_geometry(200, block_length=4, ratio1=2, ratio2=4)
+    c = 2
+    taps = spec.max_taps - spec.inner.m - 5
+    h = rng.standard_normal((c, taps)).astype(np.float32)
+    x = rng.standard_normal((c, 96 * spec.block_length)).astype(np.float32)
+    _, y = _run_nu3(spec, h, x, use_pallas=False)
+    ref = _scipy_ref(h, x, y.shape[1])
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 1e-5, err
+
+
+def test_nu3_fast_equals_per_block():
+    """The static-phase super-cycle form == per-block steps, including
+    state, and the formulations interleave at super-cycle boundaries."""
+    rng = np.random.default_rng(52)
+    spec = NU.nu3_geometry(150, block_length=4, ratio1=2, ratio2=2)
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    sup = spec.ratio1 * spec.inner.ratio
+    nblk = 16 * sup
+    x = rng.standard_normal((c, nblk * spec.block_length)).astype(np.float32)
+    coeffs = NU.nu3_coeffs(h, spec, c)
+    blocks = jnp.asarray(x.reshape(c, -1, spec.block_length).transpose(1, 0, 2))
+
+    st_a = NU.init_nu3_state(spec, c)
+    st_a, ya = NU.process_blocks_nu3(st_a, coeffs, blocks, use_pallas=False)
+    st_b = NU.init_nu3_state(spec, c)
+    st_b, yb = NU.process_blocks_nu3_fast(st_b, coeffs, blocks, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    st_c = NU.init_nu3_state(spec, c)
+    st_c, y1 = NU.process_blocks_nu3_fast(st_c, coeffs, blocks[:2 * sup],
+                                          use_pallas=False)
+    st_c, y2 = NU.process_blocks_nu3(st_c, coeffs, blocks[2 * sup:5 * sup],
+                                     use_pallas=False)
+    st_c, y3 = NU.process_blocks_nu3_fast(st_c, coeffs, blocks[5 * sup:],
+                                          use_pallas=False)
+    yc = jnp.concatenate([y1, y2, y3], axis=0)
+    np.testing.assert_allclose(np.asarray(yc), np.asarray(ya), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        NU.process_blocks_nu3_fast(NU.init_nu3_state(spec, c), coeffs,
+                                   blocks[:3], use_pallas=False)
+
+
+def test_nu3_state_carry():
+    rng = np.random.default_rng(53)
+    spec = NU.nu3_geometry(100, block_length=4, ratio1=2, ratio2=2)
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    x = rng.standard_normal((c, 25 * spec.block_length)).astype(np.float32)
+    coeffs = NU.nu3_coeffs(h, spec, c)
+    blocks = jnp.asarray(x.reshape(c, -1, 4).transpose(1, 0, 2))
+    st = NU.init_nu3_state(spec, c)
+    _, one = NU.process_blocks_nu3(st, coeffs, blocks, use_pallas=False)
+    st = NU.init_nu3_state(spec, c)
+    st, a = NU.process_blocks_nu3(st, coeffs, blocks[:9], use_pallas=False)
+    st, b = NU.process_blocks_nu3(st, coeffs, blocks[9:], use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(one),
+                                  np.asarray(jnp.concatenate([a, b], axis=0)))
+
+
+def test_nu3_geometry_and_validation():
+    spec = NU.nu3_geometry(524288, 1024, 8, 8)
+    assert spec.max_taps >= 524288
+    assert spec.inner.block_length == 8192
+    # three-stage beats two-stage on amortized traffic at this length
+    two = NU.nu_geometry(524288, 1024, 8)
+    assert two.traffic_bytes_per_block / spec.traffic_bytes_per_block > 1.5
+    with pytest.raises(ValueError):
+        NU.Nu3Spec(4, 3, 6, NU.NuSpec(8, 2, 4, 1))
+    with pytest.raises(ValueError):  # inner block mismatch
+        NU.Nu3Spec(4, 2, 4, NU.NuSpec(16, 2, 4, 1))
+    with pytest.raises(ValueError, match="max_taps"):
+        NU.nu3_coeffs(np.zeros((1, spec.max_taps + 1)), spec, 1)
+
+
+def test_nu3_pallas_interpret():
+    rng = np.random.default_rng(54)
+    spec = NU.nu3_geometry(150, block_length=128, ratio1=2, ratio2=2)
+    c = 2
+    h = rng.standard_normal((c, min(spec.max_taps, 900))).astype(np.float32)
+    x = rng.standard_normal((c, 16 * spec.block_length)).astype(np.float32)
+    _, y = _run_nu3(spec, h, x, use_pallas=True, interpret=True)
+    ref = _scipy_ref(h, x, y.shape[1])
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    assert err < 1e-4, err
