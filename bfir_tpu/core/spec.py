@@ -263,8 +263,10 @@ class EngineConfig:
     # "complex"/"packed"/"hc"/"extended"; "sharded" runs the multi-device
     # ppermute engine (parallel/sharded.py) over the session's mesh (all
     # visible devices by default); "nonuniform" runs the two-stage
-    # Gardner-partition engine (core/nonuniform.py: ~4x less streaming HBM
-    # traffic for long filters at the same one-block latency)
+    # Gardner-partition engine (core/nonuniform.py: measured 0.100 vs
+    # 0.218 ms/block for long filters at the same one-block latency);
+    # "nonuniform3" the recursively composed three-stage engine for very
+    # long filters (auto above 256 partitions)
     engine_mode: str = "auto"
     # run a known-answer self-check of the exact compiled graph at every
     # coefficient build (engine/selfcheck.py); on failure the session falls

@@ -216,11 +216,14 @@ class StreamProcessor:
             # coverage to amortize its tail transforms; below that the
             # uniform hc engine is the right call. A failed build or
             # self-check falls through to hc automatically (_initialize).
-            if self.n_partitions >= 256:
-                # very long filters: the two-stage tail itself dominates;
-                # the recursively composed three-stage schedule wins
-                # (core/nonuniform.py Nu3Spec; falls back to 'nonuniform'
-                # on any build/self-check failure)
+            if self.n_partitions >= 640:
+                # very long filters: the three-stage schedule's flat cost
+                # (~0.18 ms/block at 64 ch, nearly independent of taps)
+                # undercuts the two-stage floor, which grows ~1.7 us per
+                # tail partition (TPU-measured 2026-08-21: two-stage 0.121 /
+                # 0.171 ms at 280k / 512k taps vs three-stage 0.178 / 0.176
+                # — crossover ≈ 600k taps). Falls back to 'nonuniform' on
+                # any build/self-check failure.
                 return "nonuniform3"
             if self.n_partitions >= 32:
                 return "nonuniform"

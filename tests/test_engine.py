@@ -613,7 +613,7 @@ def test_auto_mode_prefers_nonuniform3_for_very_long_filters(monkeypatch, tmp_pa
     cfg = make_config(tmp_path, dtype="float32")
     sp = StreamProcessor(cfg, ArtifactCache(str(tmp_path / "p3")))
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
-    sp.n_partitions = 256
+    sp.n_partitions = 640
     assert sp._resolve_engine_mode() == "nonuniform3"
-    sp.n_partitions = 255
+    sp.n_partitions = 512
     assert sp._resolve_engine_mode() == "nonuniform"
