@@ -25,7 +25,9 @@ worst-channel SNR 134 dB vs scipy): **0.100 ms/block** vs the uniform hc
 engine's 0.218 — a 2.2x win, close to the ~0.095 the traffic model
 implies. With ``tail_store="bfloat16"`` (EngineConfig.nu_tail_store):
 **0.088 ms/block** (745 M samples/s) at worst-channel 64.1 dB — the
-documented ~56 dB + tail-energy-deficit class. Round 2 measured 0.179: the gap was NOT scheduling but the tail
+documented ~56 dB + tail-energy-deficit class.
+
+Round 2 measured 0.179: the gap was NOT scheduling but the tail
 TRANSFORM cost — the radix-4-tail four-step at M = 16384 (h = 8192) burns
 4·2·h·(h/4) = 134 MFLOP/row where the balanced split (factors 64/128,
 MXU-viable at this size) needs 12.6; ops.fft._R4_MAX_H now switches
