@@ -393,3 +393,51 @@ def test_caf_rejects_compressed(tmp_path):
         f.write(struct.pack(">I", 0))
     with pytest.raises(ValueError, match="codec"):
         cafio.read(p)
+
+
+def test_au_caf_malformed_files_raise_cleanly(tmp_path):
+    """Truncated/garbage AU and CAF inputs must raise ValueError with a
+    named reason, never crash or return wrong audio (the libsndfile-parity
+    error discipline of io/sndio.py)."""
+    import struct
+
+    from bfir_tpu.io import auio, cafio
+
+    # AU: bad magic
+    p = str(tmp_path / "bad1.au")
+    open(p, "wb").write(b"nope" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="magic"):
+        auio.read(p)
+    # AU: unsupported encoding code
+    p = str(tmp_path / "bad2.au")
+    with open(p, "wb") as f:
+        f.write(b".snd" + struct.pack(">IIIII", 24, 4, 99, 44100, 1) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="encoding"):
+        auio.read(p)
+    # AU: truncated header
+    p = str(tmp_path / "bad3.au")
+    open(p, "wb").write(b".snd\x00\x00")
+    with pytest.raises(ValueError):
+        auio.read(p)
+    # CAF: bad magic
+    p = str(tmp_path / "bad1.caf")
+    open(p, "wb").write(b"wrong" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="magic"):
+        cafio.read(p)
+    # CAF: desc but no data chunk
+    p = str(tmp_path / "bad2.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"desc" + struct.pack(">q", 32))
+        f.write(struct.pack(">d4sIIIII", 44100.0, b"lpcm", 1, 8, 1, 2, 32))
+    with pytest.raises(ValueError, match="data"):
+        cafio.read(p)
+    # CAF: invalid PCM width
+    p = str(tmp_path / "bad3.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"desc" + struct.pack(">q", 32))
+        f.write(struct.pack(">d4sIIIII", 44100.0, b"lpcm", 0, 0, 1, 2, 12))
+        f.write(b"data" + struct.pack(">q", 8) + struct.pack(">I", 0) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="width"):
+        cafio.read(p)
