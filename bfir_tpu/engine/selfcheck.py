@@ -77,27 +77,46 @@ def _source_fingerprint() -> str:
 def cache_key(impl: str, impulse: np.ndarray, spec: FilterSpec,
               n_channels: int, n_blocks: int, min_snr_db: float,
               extra: str = "") -> str:
-    """Stable verdict-cache key; see the miscompile-determinism note above."""
-    import jax
+    """Stable verdict-cache key; see the miscompile-determinism note above.
 
-    dev = jax.devices()[0]
+    Covers the full compiler-stack identity (jax + jaxlib + PJRT plugin
+    version + XLA flags, ADVICE r3): the miscompiles are a plugin-build
+    property, so a plugin update must invalidate every verdict even when
+    ``jax.__version__`` is unchanged.
+    """
+    from bfir_tpu.utils.hashing import backend_fingerprint
+
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(np.asarray(impulse, dtype=np.float64)).tobytes())
     h.update(repr((impl, spec, n_channels, n_blocks, round(min_snr_db, 3),
                    extra, impulse.shape)).encode())
-    h.update(f"{jax.__version__}|{jax.default_backend()}|"
-             f"{getattr(dev, 'device_kind', '?')}".encode())
+    h.update(backend_fingerprint().encode())
     h.update(_source_fingerprint().encode())
     return h.hexdigest()[:24]
 
 
+# Cached FAILURES expire (ADVICE r3): a failure usually marks a backend
+# miscompile, and while the cache key now covers the plugin version, belt
+# and braces — a day later the check re-runs so a fixed/transient condition
+# (e.g. a sick tunnel producing garbage) cannot demote an engine forever.
+# Passes never expire: a pass going stale is caught by the key change.
+FAILURE_TTL_S = 24 * 3600.0
+
+
 def load_verdict(cache_file: Optional[str], key: str):
-    """Return the cached {"snr": float, "ok": bool} verdict or None."""
+    """Return the cached {"snr": float, "ok": bool} verdict or None.
+    Failed verdicts older than ``FAILURE_TTL_S`` are treated as absent."""
     if not cache_file or not os.path.exists(cache_file):
         return None
     try:
         with open(cache_file) as f:
-            return json.load(f).get(key)
+            verdict = json.load(f).get(key)
+        if verdict is not None and not verdict.get("ok", False):
+            import time
+
+            if time.time() - float(verdict.get("t", 0.0)) > FAILURE_TTL_S:
+                return None
+        return verdict
     except Exception:
         return None
 
@@ -106,11 +125,13 @@ def store_verdict(cache_file: Optional[str], key: str, snr: float, ok: bool) -> 
     if not cache_file:
         return
     try:
+        import time
+
         data = {}
         if os.path.exists(cache_file):
             with open(cache_file) as f:
                 data = json.load(f)
-        data[key] = {"snr": float(snr), "ok": bool(ok)}
+        data[key] = {"snr": float(snr), "ok": bool(ok), "t": time.time()}
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cache_file) or ".")
         with os.fdopen(fd, "w") as f:
             json.dump(data, f)

@@ -620,7 +620,11 @@ class StreamProcessor:
             if not np.isfinite(out_np[0, 0]):
                 pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
                 self._failed = True
+                # pass the offending block AND every later dispatched block
+                # through (their raw inputs) — sync-path/reference semantics
+                # (brutefir.cpp:313-321) lose no samples on abort (ADVICE r3)
                 outs.append(blk_np)
+                outs.extend(b for b, _ in inflight)
                 inflight.clear()
                 return False
             if self.config.stream.out_format.isfloat:

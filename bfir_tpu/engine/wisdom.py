@@ -36,9 +36,12 @@ from bfir_tpu.utils.logging import pinfo
 
 
 def _backend_tag() -> str:
-    dev = jax.devices()[0]
-    return f"{jax.__version__}|{jax.default_backend()}|" \
-           f"{getattr(dev, 'device_kind', '?')}|{jax.device_count()}"
+    # full compiler-stack identity (jaxlib + PJRT plugin version included,
+    # ADVICE r3): a plugin upgrade must invalidate serialized executables —
+    # an executable compiled by a buggy plugin build must not outlive it
+    from bfir_tpu.utils.hashing import backend_fingerprint
+
+    return backend_fingerprint()
 
 
 class Wisdom:
@@ -89,12 +92,18 @@ class Wisdom:
             return jitted
         compiled_by_sig = {}
         wisdom = self
+        donated = tuple(donate_argnums) if donate_argnums else ()
 
         def _sig(args):
             return tuple(
                 (tuple(leaf.shape), str(leaf.dtype))
                 for leaf in jax.tree_util.tree_leaves(args)
             )
+
+        def _copy_leaf(x):
+            # device-side copy (no host crossing — complex arrays can't
+            # cross the axon tunnel, CLAUDE.md)
+            return jax.numpy.copy(x) if isinstance(x, jax.Array) else x
 
         def wrapped(*args):
             sig = _sig(args)
@@ -105,8 +114,16 @@ class Wisdom:
             exe, from_disk = entry
             if not from_disk:
                 return exe(*args)
+            # First call of a deserialized executable for this signature:
+            # if it fails AFTER donation invalidated donated inputs, a bare
+            # retry would dereference deleted buffers and lose the engine
+            # state (ADVICE r3) — keep device-side copies to retry from.
+            # One successful call validates the executable and the copy
+            # overhead disappears.
+            backups = {i: jax.tree_util.tree_map(_copy_leaf, args[i])
+                       for i in donated if i < len(args)}
             try:
-                return exe(*args)
+                out = exe(*args)
             except Exception as e:
                 # a deserialized executable can be call-incompatible with
                 # the live device topology (e.g. N virtual CPU devices vs
@@ -115,7 +132,14 @@ class Wisdom:
                 pinfo("Wisdom executable incompatible (%s); recompiling.", e)
                 wisdom.hits -= 1
                 compiled_by_sig[sig] = (jitted, False)
+                if backups:
+                    args = list(args)
+                    for i, b in backups.items():
+                        args[i] = b
+                    args = tuple(args)
                 return jitted(*args)
+            compiled_by_sig[sig] = (exe, False)  # validated
+            return out
 
         wrapped._wisdom = self  # introspection/tests
         return wrapped

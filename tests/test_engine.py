@@ -617,3 +617,23 @@ def test_auto_mode_prefers_nonuniform3_for_very_long_filters(monkeypatch, tmp_pa
     assert sp._resolve_engine_mode() == "nonuniform3"
     sp.n_partitions = 512
     assert sp._resolve_engine_mode() == "nonuniform"
+
+
+def test_pipelined_nan_abort_loses_no_samples(cache, tmp_path):
+    """ADVICE r3: a NaN abort inside the pipelined drain must pass the
+    offending block AND every later already-dispatched block through
+    (reference semantics, brutefir.cpp:313-321) — no input samples vanish."""
+    h = np.zeros((2, 10))
+    h[:, 0] = 1.0  # dirac: filtered output == input, so y == x throughout
+    p = save_impulse(tmp_path, "dpipe.wav", h)
+    cfg = make_config(tmp_path, files=[(p, 0, False)])
+    sp = StreamProcessor(cfg, cache)
+    rng = np.random.default_rng(77)
+    x = rng.standard_normal((2, 8 * 256))
+    x[:, 3 * 256] = np.nan  # first sample of block 3 trips the guard
+    y = sp.process(x)
+    assert y.shape == x.shape  # blocks 3..7 passthrough, nothing dropped
+    # filtered blocks are FFT-approximate; passthrough blocks are bit-exact
+    np.testing.assert_allclose(y, x, atol=1e-9)
+    np.testing.assert_array_equal(y[:, 3 * 256:], x[:, 3 * 256:])
+    assert sp._failed

@@ -129,3 +129,76 @@ def test_wisdom_executable_cache(tmp_path):
     w3 = Wisdom(None, enable=False)
     f4 = w3.jit(lambda a: a + 1)
     np.testing.assert_array_equal(np.asarray(f4(x)), np.asarray(x) + 1)
+
+
+def test_wisdom_retry_survives_donation(tmp_path):
+    """ADVICE r3: a deserialized executable that fails AFTER donation has
+    invalidated its donated input must still recover via the jit fallback
+    (device-side backups), not raise on a deleted buffer."""
+    import jax
+    import jax.numpy as jnp
+
+    from bfir_tpu.engine.wisdom import Wisdom
+
+    w = Wisdom(str(tmp_path / "wis"))
+
+    class Broken:
+        def __call__(self, *a):
+            # simulate donation consuming the state, then a late failure
+            jax.tree_util.tree_map(lambda l: l.delete(), a[0])
+            raise RuntimeError("simulated incompatible executable")
+
+    w._load_or_compile = lambda jitted, args: (Broken(), True)
+    g = w.jit(lambda s, x: (s + x, jnp.sum(s * x)), donate_argnums=(0,))
+    s = jnp.ones((8,))
+    x = jnp.arange(8.0)
+    s2, out = g(s, x)  # must not raise
+    np.testing.assert_allclose(np.asarray(out), float(np.arange(8.0).sum()))
+    np.testing.assert_allclose(np.asarray(s2), 1.0 + np.arange(8.0))
+
+
+def test_wisdom_key_covers_compiler_stack(monkeypatch, tmp_path):
+    """ADVICE r3: plugin/jaxlib version changes must invalidate wisdom keys
+    and self-check verdicts even under an unchanged jax.__version__."""
+    from bfir_tpu.utils import hashing
+
+    fp = hashing.backend_fingerprint()
+    import jax
+    import jaxlib.version
+
+    assert jax.__version__ in fp and jaxlib.version.__version__ in fp
+    # the PJRT platform_version slot is present (non-empty 4th field)
+    assert len(fp.split("|")) >= 6
+
+    from bfir_tpu.core.spec import FilterSpec
+    from bfir_tpu.engine import selfcheck
+
+    spec = FilterSpec(block_length=64, n_partitions=2, dtype="float32")
+    imp = np.zeros((1, 128))
+    k1 = selfcheck.cache_key("hc", imp, spec, 2, 3, 80.0)
+    monkeypatch.setattr(hashing, "backend_fingerprint",
+                        lambda: fp + "|other-plugin-build")
+    k2 = selfcheck.cache_key("hc", imp, spec, 2, 3, 80.0)
+    assert k1 != k2
+
+
+def test_selfcheck_failure_verdict_expires(tmp_path):
+    """ADVICE r3: cached FAILED verdicts age out (FAILURE_TTL_S) so a fixed
+    backend/transient can't demote an engine forever; passes never expire."""
+    import json
+
+    from bfir_tpu.engine import selfcheck
+
+    cf = str(tmp_path / "verdicts.json")
+    selfcheck.store_verdict(cf, "kfail", 4.0, False)
+    selfcheck.store_verdict(cf, "kpass", 130.0, True)
+    assert selfcheck.load_verdict(cf, "kfail")["ok"] is False
+    # age both entries beyond the TTL
+    with open(cf) as f:
+        data = json.load(f)
+    for v in data.values():
+        v["t"] -= selfcheck.FAILURE_TTL_S + 10
+    with open(cf, "w") as f:
+        json.dump(data, f)
+    assert selfcheck.load_verdict(cf, "kfail") is None  # failure expired
+    assert selfcheck.load_verdict(cf, "kpass")["ok"] is True  # pass kept

@@ -441,3 +441,21 @@ def test_au_caf_malformed_files_raise_cleanly(tmp_path):
         f.write(b"data" + struct.pack(">q", 8) + struct.pack(">I", 0) + b"\x00" * 4)
     with pytest.raises(ValueError, match="width"):
         cafio.read(p)
+
+
+def test_caf_truncated_desc_raises_named_error(tmp_path):
+    """ADVICE r3: truncation INSIDE the 32-byte desc body must raise the
+    named ValueError, not leak struct.error."""
+    import struct
+
+    from bfir_tpu.io import cafio
+
+    p = str(tmp_path / "trunc.caf")
+    with open(p, "wb") as f:
+        f.write(b"caff" + struct.pack(">HH", 1, 0))
+        f.write(b"desc" + struct.pack(">q", 32))
+        f.write(b"\x00" * 12)  # desc body cut short
+    with pytest.raises(ValueError, match="truncated CAF desc"):
+        cafio.read(p)
+    with pytest.raises(ValueError, match="truncated CAF desc"):
+        cafio.read_info(p)
