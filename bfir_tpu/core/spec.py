@@ -283,6 +283,12 @@ class EngineConfig:
     # output SNR is ~56 dB + the tail's energy deficit (core/nonuniform.py
     # NuSpec.tail_store). Opt-in fast mode; ignored by other engine modes.
     nu_tail_store: str = "float32"
+    # shard-local compute of engine_mode="sharded": "auto" picks the
+    # two-stage nonuniform engine for long filters on accelerator meshes
+    # (the pod form of the fastest single-chip engine) and the uniform
+    # engine otherwise; "uniform"/"nonuniform" force the choice
+    # (parallel.sharded.ShardedEngine local_impl)
+    sharded_local: str = "auto"
 
     def __post_init__(self):
         if self.engine_mode not in ("auto", "complex", "packed", "hc", "nonuniform",
@@ -293,6 +299,10 @@ class EngineConfig:
         if self.nu_tail_store not in ("float32", "bfloat16"):
             raise ValueError(
                 f"nu_tail_store must be float32 or bfloat16, got {self.nu_tail_store!r}")
+        if self.sharded_local not in ("auto", "uniform", "nonuniform"):
+            raise ValueError(
+                "sharded_local must be auto/uniform/nonuniform, "
+                f"got {self.sharded_local!r}")
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,7 @@ class StreamProcessor:
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
             and config.nu_tail_store == old_cfg.nu_tail_store
+            and config.sharded_local == old_cfg.sharded_local
             # crossfade is implemented on every engine path (complex:
             # cv.step_crossfade; sharded: ppermute crossfade step; packed:
             # kernels.spectrum_mac.step_packed_crossfade)
@@ -301,7 +302,11 @@ class StreamProcessor:
         first = self._resolve_engine_mode()
         chain = {"extended": ["hc", "packed"], "hc": ["packed"],
                  "nonuniform": ["hc", "packed"],
-                 "nonuniform3": ["nonuniform", "hc", "packed"]}
+                 "nonuniform3": ["nonuniform", "hc", "packed"],
+                 # plain "sharded" auto-picks the nonuniform local engine on
+                 # long filters; "sharded:uniform" forces the uniform local
+                 # engine so a refused sharded-nu graph still runs sharded
+                 "sharded": ["sharded:uniform", "complex"]}
         candidates = list(dict.fromkeys(
             [first] + chain.get(first, []) + ["complex"]))
         for impl in candidates:
@@ -331,10 +336,14 @@ class StreamProcessor:
         """Build coefficients + jitted step + state for one implementation
         and (unless disabled) run the known-answer self-check through the
         exact production callable."""
+        variant = None
+        if impl.startswith("sharded"):
+            impl, _, variant = impl.partition(":")
         self._impl = impl
         self._xfade_packed = None  # lazily rebound: it closes over the impl
         self._nu_xfade = None
         self._nu_old = None
+        self._nuspec = None  # set by the nu-geometry branches below
         self._scan_packed = None  # bulk lax.scan for packed/hc/extended
         fspec = self._runtime_filter_spec
         if impl == "sharded":
@@ -344,7 +353,30 @@ class StreamProcessor:
             if n_channels % mesh.shape["c"]:
                 raise ValueError(
                     f"{n_channels} channels not divisible by mesh c={mesh.shape['c']}")
-            self._sharded = ShardedEngine(fspec, n_channels, mesh)
+            # auto: long filters take the sharded two-stage engine (the pod
+            # form of the fastest single-chip engine, VERDICT r3 next #1);
+            # "sharded:uniform" (the fallback candidate) and
+            # config.sharded_local force the choice. CPU meshes keep the
+            # uniform default under "auto" (interpret-mode Pallas is the
+            # dryrun/test path, not a product path).
+            want = self.config.sharded_local
+            local = None
+            if variant != "uniform" and want != "uniform":
+                if want == "nonuniform" or (
+                        mesh.devices.flat[0].platform != "cpu"
+                        and self.n_partitions >= 32):
+                    local = "nonuniform"
+            try:
+                self._sharded = ShardedEngine(
+                    fspec, n_channels, mesh, local_impl=local,
+                    nu_tail_store=self.config.nu_tail_store)
+            except ValueError:
+                if local != "nonuniform":
+                    raise
+                # geometry unsuitable for the two-stage split: uniform engine
+                self._sharded = ShardedEngine(fspec, n_channels, mesh)
+            self._nuspec = (self._sharded.nuspec
+                            if self._sharded.local_impl == "nonuniform" else None)
             self._coeffs = self._sharded.prepare_coeffs(built.impulse,
                                                         scale=built.scale)
             step_call = self._sharded.step
@@ -501,7 +533,9 @@ class StreamProcessor:
             # the non-uniform engine's tail only reaches the output after
             # (D+1) tail fires: stream enough blocks that a tail-stage
             # miscompile cannot hide behind a correct head
-            if impl == "nonuniform":
+            sharded_nu = (impl == "sharded"
+                          and self._sharded.local_impl == "nonuniform")
+            if impl == "nonuniform" or sharded_nu:
                 n_blocks = (self._nuspec.delay_blocks + 2) * self._nuspec.ratio
             elif impl == "nonuniform3":
                 # enough blocks that the FAR stage's first pending output
@@ -515,18 +549,27 @@ class StreamProcessor:
             # tail's energy deficit (NuSpec.tail_store doc) — the default
             # 80 dB gate would silently demote it to 'hc'. A miscompile is
             # still O(1) wrong (~4 dB), so 35 dB keeps the guard honest.
-            min_snr = (35.0 if impl in ("nonuniform", "nonuniform3")
+            min_snr = (35.0 if (impl in ("nonuniform", "nonuniform3")
+                                or sharded_nu)
                        and self.config.nu_tail_store == "bfloat16"
                        else selfcheck.DEFAULT_MIN_SNR_DB)
+            label = f"engine '{impl}'"
+            extra = ""
+            if self._nuspec is not None and (
+                    impl in ("nonuniform", "nonuniform3") or sharded_nu):
+                extra = repr(self._nuspec)
+            if impl == "sharded":
+                # a miscompile can be mesh-shape- or local-impl-specific:
+                # the verdict must not transfer across them
+                mesh = self._sharded.mesh
+                label += f" ({self._sharded.local_impl})"
+                extra += f"|mesh={dict(mesh.shape)}|{self._sharded.local_impl}"
             selfcheck.check_stream(step_call, init_state, self._coeffs, scaled,
                                    fspec, n_channels, n_blocks=n_blocks,
                                    min_snr_db=min_snr,
-                                   label=f"engine '{impl}'",
+                                   label=label,
                                    cache_file=self.cache.path("selfcheck-cache.json"),
-                                   cache_extra=(repr(self._nuspec)
-                                                if impl in ("nonuniform",
-                                                            "nonuniform3")
-                                                else ""))
+                                   cache_extra=extra)
         self._init_runtime_state()
 
     @property
@@ -559,11 +602,24 @@ class StreamProcessor:
         """Current block phase within the tail's M-block cycle."""
         return int(np.asarray(self._state.head.blockcounter)) % self._nuspec.ratio
 
+    @property
+    def _nu_protocol(self) -> bool:
+        """True when the engine crossfades by the two-stage protocol (head
+        ramp + bridging tail fire): the nonuniform engine, single-chip or
+        sharded."""
+        return (self._impl == "nonuniform"
+                or (self._impl == "sharded" and self._sharded is not None
+                    and self._sharded.local_impl == "nonuniform"))
+
     def _nu_xfade_steps(self):
         """Lazily jitted (ramp, hold) crossfade steps for the nonuniform
         engine (ramp: intra-block head crossfade; hold: new head, still
-        waiting for the bridging tail fire)."""
+        waiting for the bridging tail fire). The sharded engine supplies
+        its own sharded pair (parallel.sharded.nu_crossfade_steps)."""
         if self._nu_xfade is None:
+            if self._impl == "sharded":
+                self._nu_xfade = self._sharded.nu_crossfade_steps()
+                return self._nu_xfade
             from bfir_tpu.core import nonuniform as NU
 
             interp = jax.default_backend() == "cpu"
@@ -694,7 +750,7 @@ class StreamProcessor:
                 self._pending = buf[:, :0]
                 return np.concatenate(outs, axis=1)
             with self.block_timer.measure():
-                if swap is not None and self._impl == "nonuniform":
+                if swap is not None and self._nu_protocol:
                     # two-stage crossfade: intra-block head ramp now; the
                     # tail bridges at its first fire after the change (one
                     # extra MAC there) — see core.nonuniform.step_nu_crossfade.

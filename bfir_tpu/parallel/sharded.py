@@ -281,6 +281,340 @@ def make_ppermute_step_hc(mesh: Mesh, spec: FilterSpec, n_channels: int,
     return step_xf
 
 
+# ---------------------------------------------------------------------------
+# Sharded NON-UNIFORM engine (VERDICT r3 next #1): the two-stage Gardner
+# schedule — the fastest single-chip engine (core/nonuniform.py, 0.121 vs
+# 0.218 ms/block at the flagship geometry) — run over the same ("c", "p")
+# mesh and the same ring-rotate ICI schedule as the hc path. Structure:
+#
+# - HEAD stage: p_head partitions at N, rolled ring [p_head, 2, C, Hp_h]
+#   sharded over ("p", -, "c", -). Per block: one nearest-neighbor
+#   ``collective-permute`` of the oldest head slot + one ``psum`` of the
+#   stacked halfcomplex partials — byte-for-byte the hc engine's schedule,
+#   just on the small head ring.
+# - TAIL stage: p_tail partitions at M = R*N, same rolled layout over the
+#   same axes, but its ring advance + MAC + psum run once every R blocks
+#   under ``lax.cond`` (phase R-1) — the M-block cadence of
+#   core.nonuniform.step_nu. Collectives inside the cond are safe: the
+#   predicate derives from the replicated blockcounter, so every device
+#   takes the same branch (tests/test_parallel.py asserts the lowered HLO).
+# - inbuf/pending queues are channel-sharded, partition-replicated; the
+#   scheduling invariant (pending[0] slice r consumed at phase r) is
+#   untouched.
+#
+# Amortized per-N-block communication: the head pair every block plus the
+# tail pair every R blocks — (1 + 1/R) collective-permutes + all-reduces,
+# vs the uniform engine's 1 + 1 on a ring R2x the size. The partition MAC
+# being sharded is the reference's own hot loop
+# (/root/reference/brutefir/brutefir.cpp:279-300).
+# ---------------------------------------------------------------------------
+
+
+def _nu_pad_tail(nuspec, p_shards: int):
+    """Pad p_tail up to a multiple of the mesh "p" axis (the extra
+    partitions carry zero coefficients — exact output, storage only)."""
+    from bfir_tpu.core import nonuniform as NU
+
+    pt = -(-nuspec.p_tail // p_shards) * p_shards
+    if pt == nuspec.p_tail:
+        return nuspec
+    return NU.NuSpec(nuspec.block_length, nuspec.ratio, nuspec.p_head, pt,
+                     nuspec.dtype, nuspec.tail_store)
+
+
+def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,
+                         interpret: bool, use_pallas: bool):
+    """Shared shard-local building blocks for every sharded-nu step form."""
+    from bfir_tpu.kernels import spectrum_mac as K
+    from bfir_tpu.ops import fft as F
+
+    np_shards = mesh.shape["p"]
+
+    def advance(ring_l, prev_l, block_l):
+        """Rolled ring advance: rfft the overlap-save frame locally, rotate
+        the oldest slot to the next "p" device, insert fresh on device 0.
+        Identical schedule to make_ppermute_step_hc.advance."""
+        hp = ring_l.shape[-1]
+        frame = jnp.concatenate([prev_l, block_l], axis=-1)
+        hr, hi = F.rfft_split_hc(frame)
+        pad = hp - hr.shape[-1]
+        x = jnp.stack([jnp.pad(hr, ((0, 0), (0, pad))),
+                       jnp.pad(hi, ((0, 0), (0, pad)))], axis=0)
+        oldest = ring_l[-1]
+        if np_shards > 1:
+            recv = jax.lax.ppermute(
+                oldest, "p", [(i, (i + 1) % np_shards) for i in range(np_shards)])
+        else:
+            recv = oldest
+        p_idx = jax.lax.axis_index("p")
+        newest = jnp.where(p_idx == 0, x.astype(ring_l.dtype), recv)
+        return jnp.concatenate([newest[None], ring_l[:-1]], axis=0)
+
+    def local_mac(ring_l, coeff_l, tiled: bool):
+        """Shard-local rolled MAC (chunk-reordered coeffs, pos=0): the exact
+        single-chip kernels — ``mac_pallas_hc`` for the head,
+        ``mac_pallas_hc_tiled`` for the tail's large planes (VMEM bound).
+        bf16-stored tail planes accumulate in f32, as single-chip."""
+        pl_, two, c_l, hp = ring_l.shape
+        ring2 = ring_l.reshape(pl_, 2 * c_l, hp)
+        coeff2 = coeff_l.reshape(pl_, 2 * c_l, hp)
+        pos0 = jnp.zeros((), jnp.int32)
+        if use_pallas:
+            if tiled:
+                return K.mac_pallas_hc_tiled(ring2, coeff2, pos0,
+                                             tile=min(2048, hp),
+                                             interpret=interpret)
+            return K.mac_pallas_hc(ring2, coeff2, pos0, interpret=interpret)
+        if ring2.dtype == jnp.bfloat16:
+            ring2 = ring2.astype(jnp.float32)
+            coeff2 = coeff2.astype(jnp.float32)
+        return K.mac_reference_hc(ring2[:, :c_l], ring2[:, c_l:],
+                                  coeff2[:, :c_l], coeff2[:, c_l:], pos0)
+
+    def head_block(ring_l, prev_l, block_l, coeff_l):
+        """Head stage: advance + MAC + one stacked psum + direct tail
+        render. Returns (new ring, y_head [C_l, N])."""
+        n = nuspec.block_length
+        ring_l = advance(ring_l, prev_l, block_l)
+        yr, yi = local_mac(ring_l, coeff_l, tiled=False)
+        y = jax.lax.psum(jnp.stack([yr, yi]), "p")
+        return ring_l, F.irfft_hc_tail(y[0], y[1], n=2 * n)
+
+    def tail_fire(ring_l, prev_l, mblock_l, coeff_l):
+        """Tail stage fire: advance + tiled MAC + one stacked psum + the
+        four-step inverse (+ slice). Returns (new ring, z [C_l, M])."""
+        m = nuspec.m
+        ring_l = advance(ring_l, prev_l, mblock_l)
+        zr, zi = local_mac(ring_l, coeff_l, tiled=True)
+        z = jax.lax.psum(jnp.stack([zr, zi]), "p")
+        return ring_l, F.irfft_split_hc(z[0], z[1], n=2 * m)[..., m:]
+
+    return advance, local_mac, head_block, tail_fire
+
+
+def make_ppermute_step_nu(mesh: Mesh, nuspec, n_channels: int,
+                          interpret: bool = False, use_pallas: bool = True):
+    """Per-block sharded two-stage step: state/coeffs are
+    ``core.nonuniform.NuState``/``NuCoeffs`` with ROLLED 4-D rings
+    [P, 2, C, Hp] (the sharded layout; single-chip uses pointer layout).
+    Outputs match ``core.nonuniform.step_nu`` to fp rounding."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.core import nonuniform as NU
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    n = nuspec.block_length
+    ratio = nuspec.ratio
+    _, _, head_block, tail_fire = _make_nu_shard_parts(
+        mesh, nuspec, n_channels, interpret, use_pallas)
+
+    P4 = P("p", None, "c", None)
+    Pc = P("c", None)
+    Pq = P(None, "c", None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, P4, P4, Pc),
+        out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, Pc),
+        check_vma=False,
+    )
+    def body(h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, inbuf, pending,
+             h_co, t_co, block_l):
+        block_l = block_l.astype(h_prev.dtype)
+        c_l = block_l.shape[0]
+        r_phase = jnp.mod(h_cnt, ratio)
+        h_ring, y_head = head_block(h_ring, h_prev, block_l, h_co)
+        zero = jnp.zeros((), dtype=r_phase.dtype)
+        inbuf = jax.lax.dynamic_update_slice(
+            inbuf, block_l.astype(inbuf.dtype), (zero, r_phase * n))
+        tail_slice = jax.lax.dynamic_slice(
+            pending[0], (zero, r_phase * n), (c_l, n))
+
+        def fire(args):
+            t_ring, t_prev, pending, inbuf = args
+            t_ring, z = tail_fire(t_ring, t_prev, inbuf, t_co)
+            pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+            return t_ring, inbuf, pending
+
+        def hold(args):
+            t_ring, t_prev, pending, _ = args
+            return t_ring, t_prev, pending
+
+        t_ring, t_prev, pending = jax.lax.cond(
+            r_phase == ratio - 1, fire, hold, (t_ring, t_prev, pending, inbuf))
+        fired = (r_phase == ratio - 1).astype(t_cnt.dtype)
+        out = y_head + tail_slice
+        return (h_ring, block_l, h_cnt + 1, t_ring, t_prev, t_cnt + fired,
+                inbuf, pending, out)
+
+    def step(state, coeffs, block):
+        (h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, inbuf, pending,
+         out) = body(state.head.ring, state.head.prev_block,
+                     state.head.blockcounter, state.tail.ring,
+                     state.tail.prev_block, state.tail.blockcounter,
+                     state.inbuf, state.pending, coeffs.head, coeffs.tail,
+                     block)
+        return NU.NuState(K.HcState(h_ring, h_prev, h_cnt),
+                          K.HcState(t_ring, t_prev, t_cnt),
+                          inbuf, pending), out
+
+    return step
+
+
+def make_ppermute_macro_nu(mesh: Mesh, nuspec, n_channels: int,
+                           interpret: bool = False, use_pallas: bool = True):
+    """Cond-free M-cycle macro form (sharded ``step_nu_macro``): R unrolled
+    head blocks + one unconditional tail fire. The per-block form's untaken
+    cond branch passes the tail ring through — a per-block copy of the
+    biggest state tensor under ``lax.scan``; this form avoids it for
+    aligned bulk work (same outputs from phase 0)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.core import nonuniform as NU
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    n = nuspec.block_length
+    ratio = nuspec.ratio
+    _, _, head_block, tail_fire = _make_nu_shard_parts(
+        mesh, nuspec, n_channels, interpret, use_pallas)
+
+    P4 = P("p", None, "c", None)
+    Pc = P("c", None)
+    Pq = P(None, "c", None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P4, Pc, P(), P4, Pc, P(), Pq, P4, P4, P(None, "c", None)),
+        out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, P(None, "c", None)),
+        check_vma=False,
+    )
+    def body(h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, pending,
+             h_co, t_co, mblocks_l):
+        c_l = mblocks_l.shape[1]
+        outs = []
+        for i in range(ratio):  # static unroll, phase is a python int
+            blk = mblocks_l[i].astype(h_prev.dtype)
+            h_ring, y = head_block(h_ring, h_prev, blk, h_co)
+            h_prev = blk
+            outs.append(y + pending[0][:, i * n:(i + 1) * n])
+        inbuf = jnp.swapaxes(mblocks_l, 0, 1).reshape(c_l, ratio * n).astype(
+            h_prev.dtype)
+        t_ring, z = tail_fire(t_ring, t_prev, inbuf, t_co)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return (h_ring, h_prev, h_cnt + ratio, t_ring, inbuf, t_cnt + 1,
+                inbuf, pending, jnp.stack(outs))
+
+    def macro(state, coeffs, mblocks):
+        (h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, inbuf, pending,
+         outs) = body(state.head.ring, state.head.prev_block,
+                      state.head.blockcounter, state.tail.ring,
+                      state.tail.prev_block, state.tail.blockcounter,
+                      state.pending, coeffs.head, coeffs.tail, mblocks)
+        return NU.NuState(K.HcState(h_ring, h_prev, h_cnt),
+                          K.HcState(t_ring, t_prev, t_cnt),
+                          inbuf, pending), outs
+
+    return macro
+
+
+def make_ppermute_step_nu_crossfade(mesh: Mesh, nuspec, n_channels: int,
+                                    head_ramp: bool = True,
+                                    interpret: bool = False,
+                                    use_pallas: bool = True):
+    """Sharded form of ``core.nonuniform.step_nu_crossfade``: glitch-free
+    live filter change on the sharded two-stage engine. head_ramp=True is
+    the change block (two head MACs + intra-block ramp); False the hold
+    blocks (new head, waiting for the bridging tail fire). The first tail
+    fire after the change runs BOTH tail coefficient sets on one ring
+    advance and stores a full-M old->new ramp. Communication per block is
+    the plain step's (the extra MAC partials ride the same stacked psum)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.core import nonuniform as NU
+    from bfir_tpu.kernels import spectrum_mac as K
+    from bfir_tpu.ops import fft as F
+
+    n = nuspec.block_length
+    m = nuspec.m
+    ratio = nuspec.ratio
+    advance, local_mac, head_block, _ = _make_nu_shard_parts(
+        mesh, nuspec, n_channels, interpret, use_pallas)
+
+    P4 = P("p", None, "c", None)
+    Pc = P("c", None)
+    Pq = P(None, "c", None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq,
+                  P4, P4, P4, P4, Pc),
+        out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, Pc),
+        check_vma=False,
+    )
+    def body(h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, inbuf, pending,
+             h_old, h_new, t_old, t_new, block_l):
+        block_l = block_l.astype(h_prev.dtype)
+        c_l = block_l.shape[0]
+        r_phase = jnp.mod(h_cnt, ratio)
+        if head_ramp:
+            h_ring = advance(h_ring, h_prev, block_l)
+            yo = local_mac(h_ring, h_old, tiled=False)
+            yn = local_mac(h_ring, h_new, tiled=False)
+            y = jax.lax.psum(jnp.stack([yo[0], yo[1], yn[0], yn[1]]), "p")
+            out_o = F.irfft_hc_tail(y[0], y[1], n=2 * n)
+            out_n = F.irfft_hc_tail(y[2], y[3], n=2 * n)
+            ramp = jnp.arange(n, dtype=out_o.dtype) / (n - 1)
+            y_head = out_o * (1.0 - ramp) + out_n * ramp
+        else:
+            h_ring, y_head = head_block(h_ring, h_prev, block_l, h_new)
+        zero = jnp.zeros((), dtype=r_phase.dtype)
+        inbuf = jax.lax.dynamic_update_slice(
+            inbuf, block_l.astype(inbuf.dtype), (zero, r_phase * n))
+        tail_slice = jax.lax.dynamic_slice(
+            pending[0], (zero, r_phase * n), (c_l, n))
+
+        def fire(args):
+            t_ring, t_prev, pending, inbuf = args
+            t_ring = advance(t_ring, t_prev, inbuf)
+            zo = local_mac(t_ring, t_old, tiled=True)
+            zn = local_mac(t_ring, t_new, tiled=True)
+            z = jax.lax.psum(jnp.stack([zo[0], zo[1], zn[0], zn[1]]), "p")
+            z_old = F.irfft_split_hc(z[0], z[1], n=2 * m)[..., m:]
+            z_new = F.irfft_split_hc(z[2], z[3], n=2 * m)[..., m:]
+            ramp_m = jnp.arange(m, dtype=z_old.dtype) / (m - 1)
+            zz = z_old * (1.0 - ramp_m) + z_new * ramp_m
+            pending = jnp.concatenate([pending[1:], zz[None]], axis=0)
+            return t_ring, inbuf, pending
+
+        def hold(args):
+            t_ring, t_prev, pending, _ = args
+            return t_ring, t_prev, pending
+
+        t_ring, t_prev, pending = jax.lax.cond(
+            r_phase == ratio - 1, fire, hold, (t_ring, t_prev, pending, inbuf))
+        fired = (r_phase == ratio - 1).astype(t_cnt.dtype)
+        out = y_head + tail_slice
+        return (h_ring, block_l, h_cnt + 1, t_ring, t_prev, t_cnt + fired,
+                inbuf, pending, out)
+
+    def step(state, coeffs_old, coeffs_new, block):
+        (h_ring, h_prev, h_cnt, t_ring, t_prev, t_cnt, inbuf, pending,
+         out) = body(state.head.ring, state.head.prev_block,
+                     state.head.blockcounter, state.tail.ring,
+                     state.tail.prev_block, state.tail.blockcounter,
+                     state.inbuf, state.pending,
+                     coeffs_old.head, coeffs_new.head,
+                     coeffs_old.tail, coeffs_new.tail, block)
+        return NU.NuState(K.HcState(h_ring, h_prev, h_cnt),
+                          K.HcState(t_ring, t_prev, t_cnt),
+                          inbuf, pending), out
+
+    return step
+
+
 class ShardedEngine:
     """Multi-device partitioned convolver.
 
@@ -291,14 +625,17 @@ class ShardedEngine:
     numerical cross-check (it inserts extra all-gathers; see module
     docstring).
 
-    ``local_impl``: the shard-local compute. "hc" (default on non-CPU
-    backends) runs the exact single-chip optimized path — packed halfcomplex
-    state, the ``mac_pallas_hc`` kernel, single-matmul tail — so pod scale
-    and single chip share kernels; "complex" is the complex-spectra jnp
-    formulation (default on CPU, numerically f64-capable)."""
+    ``local_impl``: the shard-local compute. "nonuniform" (default on
+    non-CPU backends when the filter is long enough) runs the two-stage
+    Gardner schedule — the fastest single-chip engine — sharded per stage
+    (see the sharded-nu section above); "hc" runs the uniform optimized
+    path — packed halfcomplex state, the ``mac_pallas_hc`` kernel,
+    single-matmul tail; "complex" is the complex-spectra jnp formulation
+    (default on CPU, numerically f64-capable)."""
 
     def __init__(self, spec: FilterSpec, n_channels: int, mesh: Mesh,
-                 schedule: str = "ppermute", local_impl: Optional[str] = None):
+                 schedule: str = "ppermute", local_impl: Optional[str] = None,
+                 nuspec=None, nu_tail_store: str = "float32"):
         if spec.n_partitions % mesh.shape["p"]:
             raise ValueError(
                 f"n_partitions {spec.n_partitions} not divisible by mesh p={mesh.shape['p']}")
@@ -309,10 +646,11 @@ class ShardedEngine:
             raise ValueError(f"schedule must be ppermute or gspmd, got {schedule!r}")
         if local_impl is None:
             local_impl = "hc" if jax.default_backend() != "cpu" else "complex"
-        if local_impl not in ("hc", "complex"):
-            raise ValueError(f"local_impl must be hc or complex, got {local_impl!r}")
-        if local_impl == "hc" and schedule == "gspmd":
-            raise ValueError("local_impl='hc' requires the ppermute schedule")
+        if local_impl not in ("hc", "complex", "nonuniform"):
+            raise ValueError(
+                f"local_impl must be hc, complex or nonuniform, got {local_impl!r}")
+        if local_impl in ("hc", "nonuniform") and schedule == "gspmd":
+            raise ValueError(f"local_impl={local_impl!r} requires the ppermute schedule")
         self.spec = spec
         self.n_channels = n_channels
         self.mesh = mesh
@@ -322,9 +660,78 @@ class ShardedEngine:
         # multichip dryrun builds a CPU-device mesh while the default
         # backend is the TPU
         self._interpret = mesh.devices.flat[0].platform == "cpu"
+        self.nuspec = None  # set by the nonuniform branch
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if local_impl == "hc":
+        if local_impl == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            p_shards = mesh.shape["p"]
+            if nuspec is None:
+                nuspec = NU.nu_geometry(
+                    spec.n_partitions * spec.block_length, spec.block_length,
+                    ratio=8, dtype=spec.dtype, tail_store=nu_tail_store)
+            nuspec = _nu_pad_tail(nuspec, p_shards)
+            if nuspec.p_head % p_shards:
+                raise ValueError(
+                    f"nu head partitions ({nuspec.p_head}) not divisible by "
+                    f"mesh p={p_shards}")
+            taps = spec.n_partitions * spec.block_length
+            if taps <= nuspec.p_head * spec.block_length:
+                raise ValueError(
+                    f"filter ({taps} taps) too short for the sharded "
+                    f"non-uniform engine (head alone covers "
+                    f"{nuspec.p_head * spec.block_length})")
+            self.nuspec = nuspec
+            n = nuspec.block_length
+            self._hp_h = -(-n // 128) * 128            # round_up(2n/2, 128)
+            self._hp_t = -(-nuspec.m // 128) * 128
+            hc_sh = lambda: K.HcState(
+                ring=NamedSharding(mesh, P("p", None, "c", None)),
+                prev_block=NamedSharding(mesh, P("c", None)),
+                blockcounter=NamedSharding(mesh, P()),
+            )
+            self._state_shardings = NU.NuState(
+                head=hc_sh(), tail=hc_sh(),
+                inbuf=NamedSharding(mesh, P("c", None)),
+                pending=NamedSharding(mesh, P(None, "c", None)),
+            )
+            self._coeff_sharding = NU.NuCoeffs(
+                head=NamedSharding(mesh, P("p", None, "c", None)),
+                tail=NamedSharding(mesh, P("p", None, "c", None)),
+            )
+            self._block_sharding = NamedSharding(mesh, P("c", None))
+            self._step_fn = make_ppermute_step_nu(
+                mesh, nuspec, n_channels, interpret=self._interpret,
+                use_pallas=True)
+            self._macro_fn = make_ppermute_macro_nu(
+                mesh, nuspec, n_channels, interpret=self._interpret,
+                use_pallas=True)
+            self._macro = None
+            self._scan_macro = None
+            self._nu_xfade = None
+            dt = jnp.dtype(spec.dtype)
+            dt_tail = (jnp.bfloat16 if nuspec.tail_store == "bfloat16" else dt)
+            c, m, d = n_channels, nuspec.m, nuspec.delay_blocks
+
+            def _mk_state():
+                return NU.NuState(
+                    head=K.HcState(
+                        ring=jnp.zeros((nuspec.p_head, 2, c, self._hp_h), dt),
+                        prev_block=jnp.zeros((c, n), dt),
+                        blockcounter=jnp.zeros((), jnp.int32)),
+                    tail=K.HcState(
+                        ring=jnp.zeros((nuspec.p_tail, 2, c, self._hp_t),
+                                       dt_tail),
+                        prev_block=jnp.zeros((c, m), dt),
+                        blockcounter=jnp.zeros((), jnp.int32)),
+                    inbuf=jnp.zeros((c, m), dt),
+                    pending=jnp.zeros((d, c, m), dt),
+                )
+
+            self._init = jax.jit(_mk_state, out_shardings=self._state_shardings)
+        elif local_impl == "hc":
             # packed halfcomplex state: ring [P, 2, C, Hp] over ("p", "c")
             self._hp = -(-spec.n_fft // 2 // 128) * 128
             self._state_shardings = cv.ConvolverState(
@@ -375,18 +782,33 @@ class ShardedEngine:
                 ),
                 out_shardings=self._state_shardings,
             )
-        else:
+        elif local_impl == "complex":
             self._init = jax.jit(
                 lambda: cv.init_state(spec, n_channels),
                 out_shardings=self._state_shardings,
                 static_argnums=(),
             )
+        # (nonuniform: self._init built in its branch above)
 
     def init_state(self) -> cv.ConvolverState:
         return self._init()
 
     def prepare_coeffs(self, impulse, scale: float = 1.0,
                        precise: bool = False) -> jax.Array:
+        if self.local_impl == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+
+            co = NU.nu_coeffs(impulse, self.nuspec, self.n_channels,
+                              scale=scale, precise=precise)
+            p_shards = self.mesh.shape["p"]
+
+            def _reorder(plane):  # [P, 2C, Hp] -> rolled 4-D shard layout
+                p, c2, hp = plane.shape
+                plane = plane.reshape(p, 2, c2 // 2, hp)
+                return _hc_chunk_reorder(plane, p_shards)
+
+            co = NU.NuCoeffs(head=_reorder(co.head), tail=_reorder(co.tail))
+            return self._place_coeffs(co)
         if self.local_impl == "hc":
             from bfir_tpu.kernels import spectrum_mac as K
 
@@ -402,8 +824,30 @@ class ShardedEngine:
     def step(self, state, coeffs, block) -> Tuple[cv.ConvolverState, jax.Array]:
         return self._step(state, coeffs, block)
 
+    def nu_crossfade_steps(self):
+        """Lazily jitted (ramp, hold) crossfade steps for the sharded
+        non-uniform engine — the same two-phase protocol as single-chip
+        ``core.nonuniform.step_nu_crossfade`` (the session drives it)."""
+        assert self.local_impl == "nonuniform"
+        if self._nu_xfade is None:
+            mk = lambda hr: jax.jit(
+                make_ppermute_step_nu_crossfade(
+                    self.mesh, self.nuspec, self.n_channels, head_ramp=hr,
+                    interpret=self._interpret, use_pallas=True),
+                in_shardings=(self._state_shardings, self._coeff_sharding,
+                              self._coeff_sharding, self._block_sharding),
+                out_shardings=(self._state_shardings, self._block_sharding),
+            )
+            self._nu_xfade = (mk(True), mk(False))
+        return self._nu_xfade
+
     def step_crossfade(self, state, coeff_old, coeff_new, block):
-        """Glitch-free filter swap: one sharded block with old->new ramp."""
+        """Glitch-free filter swap: one sharded block with old->new ramp.
+        (The nonuniform local engine uses the two-phase ``nu_crossfade_steps``
+        protocol instead — this one-shot form is for the uniform engines.)"""
+        if self.local_impl == "nonuniform":
+            ramp, _ = self.nu_crossfade_steps()
+            return ramp(state, coeff_old, coeff_new, block)
         if self._xfade is None:
             if self.local_impl == "hc":
                 fn = make_ppermute_step_hc(
@@ -424,7 +868,42 @@ class ShardedEngine:
 
     def process_blocks(self, state, coeffs, blocks):
         """Streaming-exact scan over [B, C, N] blocks, one sharded dispatch
-        (the sharded form of ``core.convolver.process_blocks``)."""
+        (the sharded form of ``core.convolver.process_blocks``). On the
+        nonuniform local engine, M-cycle-aligned bulk work takes the
+        cond-free macro scan (identical outputs; no per-block tail-ring
+        pass-through copy — the same host-side alignment choice as
+        ``engine.session._process_buffer_locked``)."""
+        if self.local_impl == "nonuniform":
+            import numpy as _np
+
+            ratio = self.nuspec.ratio
+            b = blocks.shape[0]
+            aligned = (b % ratio == 0 and
+                       int(_np.asarray(state.head.blockcounter)) % ratio == 0)
+            if aligned:
+                if self._scan_macro is None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    macro_fn = self._macro_fn
+
+                    def scan_fn(st, co, mcycles):
+                        def body(s, mb):
+                            return macro_fn(s, co, mb)
+                        st, ys = jax.lax.scan(body, st, mcycles)
+                        return st, ys.reshape(-1, *ys.shape[2:])
+
+                    mc_sh = NamedSharding(self.mesh, P(None, None, "c", None))
+                    out_sh = NamedSharding(self.mesh, P(None, "c", None))
+                    self._scan_macro = jax.jit(
+                        scan_fn,
+                        in_shardings=(self._state_shardings,
+                                      self._coeff_sharding, mc_sh),
+                        out_shardings=(self._state_shardings, out_sh),
+                        donate_argnums=0,
+                    )
+                c, n = blocks.shape[1], blocks.shape[2]
+                mcycles = blocks.reshape(b // ratio, ratio, c, n)
+                return self._scan_macro(state, coeffs, mcycles)
         if self._scan is None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -457,8 +936,8 @@ class ShardedEngine:
         the jitted wrapper converts on entry and back on exit, so ``step``
         and ``process_batch`` interoperate freely on the same state.
         """
-        if self.local_impl == "hc":
-            # the hc state has no pointer-layout complex equivalent; bulk
+        if self.local_impl in ("hc", "nonuniform"):
+            # these states have no pointer-layout complex equivalent; bulk
             # work goes through process_blocks (one scan dispatch)
             return self.process_blocks(state, coeffs, blocks)
         if self._batch is None:
@@ -528,3 +1007,34 @@ def dryrun(n_devices: Optional[int] = None, mesh: Optional[Mesh] = None) -> None
                                  - y2[:, : 2 * spec.block_length])))
     if err_hc > 1e-5:
         raise AssertionError(f"sharded hc step diverged: {err_hc}")
+    # and the nonuniform-local composition (the pod form of the fastest
+    # single-chip engine, VERDICT r3 next #1): two-stage geometry, head +
+    # cadenced tail collectives, checked against the single-chip step_nu
+    from bfir_tpu.core import nonuniform as NU
+
+    n = spec.block_length
+    p_shards = m.shape["p"]
+    nuspec = NU.NuSpec(block_length=n, ratio=2, p_head=2 * 2 * p_shards,
+                       p_tail=p_shards, dtype="float32")
+    taps_nu = nuspec.max_taps
+    spec_nu = FilterSpec(block_length=n, n_partitions=taps_nu // n,
+                         dtype="float32")
+    h_nu = rng.standard_normal((c, taps_nu)).astype(np.float32) * 0.05
+    eng_nu = ShardedEngine(spec_nu, c, m, local_impl="nonuniform",
+                           nuspec=nuspec)
+    st_nu = eng_nu.init_state()
+    co_nu = eng_nu.prepare_coeffs(h_nu)
+    st_ref = NU.init_nu_state(eng_nu.nuspec, c)
+    co_ref = NU.nu_coeffs(h_nu, eng_nu.nuspec, c)
+    nblocks = 2 * eng_nu.nuspec.ratio + 1
+    x_nu = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    err_nu = 0.0
+    for b in range(nblocks):
+        block = x_nu[:, b * n : (b + 1) * n]
+        st_nu, o = eng_nu.step(st_nu, co_nu, block)
+        st_ref, o_ref = NU.step_nu(st_ref, co_ref, block, interpret=True,
+                                   use_pallas=False)
+        err_nu = max(err_nu, float(np.max(np.abs(np.asarray(o)
+                                                 - np.asarray(o_ref)))))
+    if err_nu > 1e-4:
+        raise AssertionError(f"sharded nonuniform step diverged: {err_nu}")

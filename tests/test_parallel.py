@@ -366,3 +366,178 @@ def test_hlo_collectives_hc(devices):
     assert n_cp >= 1 and n_ar >= 1
     assert n_ag == 0, f"hc sharded step must not all-gather (found {n_ag})"
     assert n_cp <= 2 and n_ar <= 2, f"extra collectives: cp={n_cp} ar={n_ar}"
+
+
+# ---------------------------------------------------------------------------
+# Sharded NON-UNIFORM engine (VERDICT r3 next #1): the pod path must run the
+# fastest (two-stage Gardner) engine, verified against the single-chip
+# step_nu across mesh shapes, with the minimal collective inventory.
+# ---------------------------------------------------------------------------
+
+
+def _nu_sharded_setup(c_shards, p_shards, c=4, n=128, tail_parts=5, seed=0,
+                      tail_store="float32"):
+    from bfir_tpu.core import nonuniform as NU
+
+    rng = np.random.default_rng(seed)
+    taps = 16 * n + tail_parts * (8 * n)
+    h = (rng.standard_normal((c, taps)) * 0.05).astype(np.float32)
+    spec = FilterSpec(block_length=n, n_partitions=taps // n, dtype="float32")
+    mesh = M.make_mesh(channel_shards=c_shards, partition_shards=p_shards)
+    eng = ShardedEngine(spec, c, mesh, local_impl="nonuniform",
+                        nu_tail_store=tail_store)
+    return rng, h, spec, mesh, eng, NU
+
+
+@pytest.mark.parametrize("c_shards,p_shards", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_nu_matches_single_chip(devices, c_shards, p_shards):
+    """Sharded two-stage engine == single-chip step_nu to fp rounding, on
+    the same (padded) geometry, across mesh shapes."""
+    rng, h, spec, mesh, eng, NU = _nu_sharded_setup(c_shards, p_shards, seed=30)
+    c, n = 4, 128
+    st = eng.init_state()
+    co = eng.prepare_coeffs(h)
+    st1 = NU.init_nu_state(eng.nuspec, c)
+    co1 = NU.nu_coeffs(h, eng.nuspec, c)
+    nblocks = 2 * eng.nuspec.ratio + 3
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st, o = eng.step(st, co, blk)
+        st1, o1 = NU.step_nu(st1, co1, blk, interpret=True, use_pallas=False)
+        scale = max(1.0, float(np.abs(np.asarray(o1)).max()))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o1),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
+
+
+def test_sharded_nu_macro_scan_matches_steps(devices):
+    """M-cycle-aligned process_blocks (cond-free macro scan) == per-block
+    steps, bit-for-bit on CPU."""
+    import jax.numpy as jnp
+
+    rng, h, spec, mesh, eng, NU = _nu_sharded_setup(2, 4, seed=31)
+    c, n = 4, 128
+    R = eng.nuspec.ratio
+    co = eng.prepare_coeffs(h)
+    nblocks = 2 * R
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    blocks = jnp.asarray(x.reshape(c, nblocks, n).transpose(1, 0, 2))
+    st_b, ys = eng.process_blocks(eng.init_state(), co, blocks)
+    st_s = eng.init_state()
+    refs = []
+    for b in range(nblocks):
+        st_s, o = eng.step(st_s, co, x[:, b * n:(b + 1) * n])
+        refs.append(np.asarray(o))
+    np.testing.assert_array_equal(np.asarray(ys), np.stack(refs))
+    # and the state threads identically (continue per-block after the scan)
+    blk = rng.standard_normal((c, n)).astype(np.float32)
+    _, o_b = eng.step(st_b, co, blk)
+    _, o_s = eng.step(st_s, co, blk)
+    np.testing.assert_array_equal(np.asarray(o_b), np.asarray(o_s))
+
+
+def test_hlo_collectives_nu(devices):
+    """Sharded-nu inventory: exactly one collective-permute + one all-reduce
+    per STAGE (head every block; tail under the fire cond), 0 all-gathers —
+    amortized (1 + 1/R) pairs per block vs the uniform engine's 1 + 1 on a
+    ring R/2x the size (COMM_MODEL.md)."""
+    import re
+
+    _, h, spec, mesh, eng, NU = _nu_sharded_setup(2, 4, seed=32)
+    c, n = 4, 128
+    st = jax.eval_shape(eng._init)
+    st = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        st, eng._state_shardings)
+    co = eng.prepare_coeffs(h)
+    co = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding), co)
+    block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                 sharding=eng._block_sharding)
+    txt = eng._step.lower(st, co, block).compile().as_text()
+    n_cp = len(re.findall(r"collective-permute\(", txt))
+    n_ar = len(re.findall(r"all-reduce\(", txt))
+    n_ag = len(re.findall(r"all-gather\(", txt))
+    assert n_ag == 0, f"sharded-nu step must not all-gather (found {n_ag})"
+    assert n_cp == 2 and n_ar == 2, \
+        f"expected one cp+ar per stage: cp={n_cp} ar={n_ar}"
+
+
+def test_sharded_nu_crossfade_protocol_matches_single_chip(devices):
+    """The sharded (ramp, hold) crossfade pair == the single-chip
+    step_nu_crossfade sequence, block for block, through a full transition
+    (change mid-cycle -> bridging tail fire -> pure new)."""
+    rng, h, spec, mesh, eng, NU = _nu_sharded_setup(2, 4, seed=33)
+    c, n = 4, 128
+    R = eng.nuspec.ratio
+    h2 = (rng.standard_normal(h.shape) * 0.05).astype(np.float32)
+    co_o, co_n = eng.prepare_coeffs(h), eng.prepare_coeffs(h2)
+    u_o = NU.nu_coeffs(h, eng.nuspec, c)
+    u_n = NU.nu_coeffs(h2, eng.nuspec, c)
+    st = eng.init_state()
+    st1 = NU.init_nu_state(eng.nuspec, c)
+    ramp, hold = eng.nu_crossfade_steps()
+    warm = R + 2  # change lands mid-cycle (phase 2)
+    total = warm + 2 * R
+    x = rng.standard_normal((c, total * n)).astype(np.float32)
+    for b in range(total):
+        blk = x[:, b * n:(b + 1) * n]
+        phase = b % R
+        if b < warm:
+            st, o = eng.step(st, co_o, blk)
+            st1, o1 = NU.step_nu(st1, u_o, blk, interpret=True,
+                                 use_pallas=False)
+        elif b == warm:
+            st, o = ramp(st, co_o, co_n, blk)
+            st1, o1 = NU.step_nu_crossfade(st1, u_o, u_n, blk, head_ramp=True,
+                                           interpret=True, use_pallas=False)
+        elif not fired:
+            st, o = hold(st, co_o, co_n, blk)
+            st1, o1 = NU.step_nu_crossfade(st1, u_o, u_n, blk, head_ramp=False,
+                                           interpret=True, use_pallas=False)
+        else:
+            st, o = eng.step(st, co_n, blk)
+            st1, o1 = NU.step_nu(st1, u_n, blk, interpret=True,
+                                 use_pallas=False)
+        if b >= warm:
+            fired = fired or phase == R - 1 if b > warm else phase == R - 1
+        scale = max(1.0, float(np.abs(np.asarray(o1)).max()))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o1),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
+
+
+def test_sharded_nu_bf16_tail_store(devices):
+    """nu_tail_store="bfloat16" shards too: tail ring/coeffs stored bf16,
+    output within the documented reduced-precision class vs scipy."""
+    from scipy import signal
+
+    rng, h, spec, mesh, eng, NU = _nu_sharded_setup(2, 4, seed=34,
+                                                    tail_store="bfloat16")
+    c, n = 4, 128
+    assert eng.init_state().tail.ring.dtype == jnp.bfloat16
+    co = eng.prepare_coeffs(h)
+    assert co.tail.dtype == jnp.bfloat16
+    st = eng.init_state()
+    nblocks = 4 * eng.nuspec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    outs = []
+    for b in range(nblocks):
+        st, o = eng.step(st, co, x[:, b * n:(b + 1) * n])
+        outs.append(np.asarray(o))
+    y = np.concatenate(outs, axis=1)
+    ref = np.stack([signal.fftconvolve(x[ch].astype(np.float64), h[ch])[:y.shape[1]]
+                    for ch in range(c)])
+    snr = 10 * np.log10(float((ref ** 2).sum())
+                        / float(((y - ref) ** 2).sum()))
+    assert snr > 40, snr  # reduced-precision class, not garbage
+
+
+def test_sharded_nu_validation(devices):
+    """Geometry guards: head not divisible by mesh p, filter too short."""
+    mesh = M.make_mesh(channel_shards=1, partition_shards=8)
+    short = FilterSpec(block_length=128, n_partitions=8, dtype="float32")
+    with pytest.raises(ValueError, match="too short"):
+        ShardedEngine(short, 2, mesh, local_impl="nonuniform")
+    with pytest.raises(ValueError, match="requires the ppermute"):
+        spec = FilterSpec(block_length=128, n_partitions=64, dtype="float32")
+        ShardedEngine(spec, 2, mesh, local_impl="nonuniform", schedule="gspmd")

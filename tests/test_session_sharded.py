@@ -161,3 +161,92 @@ def test_self_check_can_be_disabled(cache, tmp_path, impulse_file, monkeypatch):
     x = np.random.default_rng(9).standard_normal((2, 1024))
     sp.process(x)
     assert sp._active  # explicit opt-out skips the guard
+
+
+def _long_impulse(tmp_path, rng, block=128, tail_parts=3):
+    taps = 16 * block + tail_parts * 8 * block + 50
+    imp = rng.standard_normal((2, taps)) * 0.05
+    return save_impulse(tmp_path, "irlong.wav", imp), imp
+
+
+def test_sharded_session_nonuniform_local(cache, tmp_path):
+    """engine_mode="sharded" composes with long filters (VERDICT r3 next #1):
+    sharded_local="nonuniform" activates the sharded two-stage engine behind
+    the same StreamProcessor surface, verified vs scipy."""
+    from scipy import signal
+
+    rng = np.random.default_rng(40)
+    block = 128
+    fname, imp = _long_impulse(tmp_path, rng, block)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, fname, block=block),
+        filter=FilterSpec(block_length=block, n_partitions=1, dtype="float32"),
+        sharded_local="nonuniform")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 40 * block))
+    y = sp.process(x)
+    assert sp._impl == "sharded"
+    assert sp._sharded.local_impl == "nonuniform"
+    ref = np.stack([signal.fftconvolve(x[c], imp[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
+
+    # mid-stream reconfigure drives the two-phase (ramp/hold) protocol and
+    # converges to the new filter
+    rng2 = np.random.default_rng(41)
+    imp2 = rng2.standard_normal(imp.shape) * 0.05
+    fname2 = save_impulse(tmp_path, "irlong2.wav", imp2)
+    cfg2 = dataclasses.replace(cfg, chain=dataclasses.replace(
+        cfg.chain, files=(ImpulseFileSpec(enabled=True, filename=fname2),
+                          ImpulseFileSpec(), ImpulseFileSpec())))
+    sp.reconfigure(cfg2)
+    assert sp._pending_swap is not None, "same geometry => crossfade queued"
+    x2 = rng.standard_normal((2, 40 * block))
+    y2 = sp.process(x2)
+    full = np.concatenate([x, x2], axis=1)
+    ref2 = np.stack([signal.fftconvolve(full[c], imp2[c])[: full.shape[1]]
+                     for c in range(2)])
+    seg = slice(70 * block, 80 * block)
+    yseg = np.concatenate([y, y2], axis=1)[:, seg]
+    rseg = ref2[:, seg]
+    snr2 = 10 * np.log10(float((rseg**2).sum())
+                         / float(((yseg - rseg)**2).sum()))
+    assert snr2 > 100, snr2
+
+
+def test_sharded_session_nu_selfcheck_fallback_to_uniform(cache, tmp_path,
+                                                          monkeypatch):
+    """A refused sharded-nu graph falls back to the UNIFORM sharded engine
+    (the "sharded:uniform" candidate), not all the way to single-chip."""
+    from bfir_tpu.parallel import sharded as sh
+
+    orig = sh.make_ppermute_step_nu
+
+    def corrupted(*a, **k):
+        step = orig(*a, **k)
+
+        def bad(state, coeffs, block):
+            st, out = step(state, coeffs, block)
+            return st, out + 0.01
+        return bad
+
+    monkeypatch.setattr(sh, "make_ppermute_step_nu", corrupted)
+    rng = np.random.default_rng(42)
+    block = 128
+    fname, imp = _long_impulse(tmp_path, rng, block)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, fname, block=block),
+        filter=FilterSpec(block_length=block, n_partitions=1, dtype="float32"),
+        sharded_local="nonuniform")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 16 * block))
+    y = sp.process(x)
+    assert sp._active and sp._impl == "sharded"
+    assert sp._sharded.local_impl != "nonuniform"
+    from scipy import signal
+
+    ref = np.stack([signal.fftconvolve(x[c], imp[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
