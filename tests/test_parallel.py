@@ -541,3 +541,94 @@ def test_sharded_nu_validation(devices):
     with pytest.raises(ValueError, match="requires the ppermute"):
         spec = FilterSpec(block_length=128, n_partitions=64, dtype="float32")
         ShardedEngine(spec, 2, mesh, local_impl="nonuniform", schedule="gspmd")
+
+
+# ---------------------------------------------------------------------------
+# Collective BYTES vs COMM_MODEL.md (VERDICT r3 next #5): not just the op
+# inventory — the payload of every collective is asserted against the
+# model's formulas, so fattening a collective (or adding an all-gather)
+# fails the suite.
+# ---------------------------------------------------------------------------
+
+_DT_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "c64": 8, "c128": 16,
+             "s32": 4, "u32": 4, "pred": 1}
+
+
+def _collective_bytes(txt):
+    """Parse compiled HLO: result byte size of every collective op."""
+    import re
+
+    out = {"collective-permute": [], "all-reduce": [], "all-gather": []}
+    pat = re.compile(
+        r"= (\w+)\[([\d,]*)\]\S* (collective-permute|all-reduce|all-gather)\(")
+    for m_ in pat.finditer(txt):
+        dt, dims, op = m_.groups()
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[op].append(_DT_BYTES.get(dt, 4) * n)
+    return out
+
+
+def _lowered_hc_hlo(c, p_total, c_shards, p_shards, n=128):
+    mesh = M.make_mesh(channel_shards=c_shards, partition_shards=p_shards)
+    spec = FilterSpec(block_length=n, n_partitions=p_total, dtype="float32")
+    eng = ShardedEngine(spec, c, mesh, local_impl="hc")
+    state = jax.eval_shape(eng._init)
+    state = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state, eng._state_shardings)
+    coeffs = jax.ShapeDtypeStruct((p_total, 2, c, eng._hp), jnp.float32,
+                                  sharding=eng._coeff_sharding)
+    block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                 sharding=eng._block_sharding)
+    return eng, eng._step.lower(state, coeffs, block).compile().as_text()
+
+
+@pytest.mark.parametrize("c,p_total,c_shards,p_shards",
+                         [(8, 8, 2, 4), (8, 16, 2, 4), (4, 8, 1, 8)])
+def test_collective_bytes_match_comm_model_hc(devices, c, p_total, c_shards,
+                                              p_shards):
+    """hc-local step: B_perm = B_psum payload = 2·(C/c)·Hp·4 exactly
+    (COMM_MODEL.md 'hc-local shard compute'), and no all-gather."""
+    eng, txt = _lowered_hc_hlo(c, p_total, c_shards, p_shards)
+    got = _collective_bytes(txt)
+    model = 2 * (c // c_shards) * eng._hp * 4
+    assert got["all-gather"] == []
+    assert got["collective-permute"] == [model], (got, model)
+    assert got["all-reduce"] == [model], (got, model)
+
+
+def test_collective_bytes_independent_of_partitions(devices):
+    """Per-device traffic is O(C·Hp), INDEPENDENT of the filter length P —
+    the scaling-efficiency premise of COMM_MODEL.md: doubling P must not
+    change a single collective byte."""
+    _, txt8 = _lowered_hc_hlo(8, 8, 2, 4)
+    _, txt32 = _lowered_hc_hlo(8, 32, 2, 4)
+    assert _collective_bytes(txt8) == _collective_bytes(txt32)
+
+
+def test_collective_bytes_match_comm_model_nu(devices):
+    """Sharded-nu step: head pair carries 2·(C/c)·Hp_head·4, tail pair
+    2·(C/c)·Hp_tail·4 (fired every R blocks), nothing else."""
+    c, n = 4, 128
+    c_shards, p_shards = 2, 4
+    _, h, spec, mesh, eng, NU = _nu_sharded_setup(c_shards, p_shards, seed=50)
+    st = jax.eval_shape(eng._init)
+    st = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        st, eng._state_shardings)
+    co = eng.prepare_coeffs(h)
+    co = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+        co)
+    block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                 sharding=eng._block_sharding)
+    txt = eng._step.lower(st, co, block).compile().as_text()
+    got = _collective_bytes(txt)
+    head = 2 * (c // c_shards) * eng._hp_h * 4
+    tail = 2 * (c // c_shards) * eng._hp_t * 4
+    assert got["all-gather"] == []
+    assert sorted(got["collective-permute"]) == sorted([head, tail]), got
+    assert sorted(got["all-reduce"]) == sorted([head, tail]), got
