@@ -683,6 +683,146 @@ def step_nu3(
     return Nu3State(head, tail, inbuf, pending), out
 
 
+def step_nu_crossfade_tiled_head(
+    state: NuState,
+    coeffs_old: NuCoeffs,
+    coeffs_new: NuCoeffs,
+    mblock: jax.Array,
+    head_ramp: bool = True,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[NuState, jax.Array]:
+    """``step_nu_crossfade`` with the tiled-MAC head (``_tail_step``/
+    ``_tail_step2``): the INNER engine's crossfade step of the three-stage
+    transition, running at block size M1 where the untiled head kernel's
+    whole-plane VMEM blocks overflow (see ``_step_nu_tiled_head``). Laws
+    identical to ``step_nu_crossfade``: head_ramp=True ramps the head over
+    the (M1-sized) change block; the first far fire after the change runs
+    both far coefficient sets on one ring advance and stores a full-M2
+    old->new ramp."""
+    m1 = mblock.shape[-1]
+    c = state.inbuf.shape[0]
+    ratio = state.inbuf.shape[-1] // m1
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+
+    if head_ramp:
+        head, za, zb = _tail_step2(state.head, coeffs_old.head,
+                                   coeffs_new.head, mblock, use_pallas,
+                                   interpret)
+        ramp = jnp.arange(m1, dtype=za.dtype) / (m1 - 1)
+        y_head = za * (1.0 - ramp) + zb * ramp
+    else:
+        head, y_head = _tail_step(state.head, coeffs_new.head, mblock,
+                                  use_pallas, interpret)
+
+    zero = jnp.zeros((), dtype=r_phase.dtype)
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, mblock.astype(state.inbuf.dtype), (zero, r_phase * m1))
+    tail_slice = jax.lax.dynamic_slice(
+        state.pending[0], (zero, r_phase * m1), (c, m1))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z_old, z_new = _tail_step2(tail, coeffs_old.tail,
+                                         coeffs_new.tail, inbuf,
+                                         use_pallas, interpret)
+        m2 = z_old.shape[-1]
+        ramp_m = jnp.arange(m2, dtype=z_old.dtype) / (m2 - 1)
+        z = z_old * (1.0 - ramp_m) + z_new * ramp_m
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    tail, pending = jax.lax.cond(
+        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return NuState(head, tail, inbuf, pending), out
+
+
+def step_nu3_crossfade(
+    state: Nu3State,
+    coeffs_old: Nu3Coeffs,
+    coeffs_new: Nu3Coeffs,
+    block: jax.Array,
+    head_ramp: bool = True,
+    inner_mode: str = "ramp",
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[Nu3State, jax.Array]:
+    """Glitch-free live filter change on the THREE-stage engine (VERDICT r3
+    next #4): the two-stage crossfade law applied recursively — each stage
+    bridges at its own natural boundary, so the output stays continuous
+    throughout (convolver_crossfade_inplace, fftw_convolver.cpp:275-321,
+    composed twice).
+
+    - outer head: intra-block ramp on the change block (``head_ramp=True``);
+      new coefficients afterwards.
+    - inner engine (the M1-cadence tail): its FIRST step after the change is
+      its own crossfade ramp step (``inner_mode="ramp"`` — inner head ramps
+      over that M1 block); subsequent inner steps run ``inner_mode="hold"``
+      (new inner head, far stage bridging at its own first fire with a
+      full-M2 ramp). Once the far stage has fired, the transition is
+      complete and the caller returns to ``step_nu3`` with the new
+      coefficients.
+
+    The caller (``engine.session``) tracks the stage machine host-side from
+    the block counter: outer fire at ``cnt % r1 == r1-1``; the inner step at
+    that fire sits at inner phase ``(cnt // r1) % r2``. In-flight pending
+    queues are never touched: they are the continuation of the old-filter
+    signal, and each bridging ramp starts exactly where they end."""
+    n = block.shape[-1]
+    c = state.inbuf.shape[0]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+
+    if head_ramp:
+        p, c2, hp = state.head.ring.shape
+        blk, xpk = K._hc_frame_spectrum(state.head, block, hp)
+        pos = jnp.mod(state.head.blockcounter, p)
+        zero = jnp.zeros((), dtype=pos.dtype)
+        ring = jax.lax.dynamic_update_slice(state.head.ring, xpk[None],
+                                            (pos, zero, zero))
+        yo = _hc_mac(ring, coeffs_old.head, pos, use_pallas, interpret)
+        yn = _hc_mac(ring, coeffs_new.head, pos, use_pallas, interpret)
+        out_o = F.irfft_hc_tail(yo[0], yo[1], n=2 * n)
+        out_n = F.irfft_hc_tail(yn[0], yn[1], n=2 * n)
+        ramp = jnp.arange(n, dtype=out_o.dtype) / (n - 1)
+        y_head = out_o * (1.0 - ramp) + out_n * ramp
+        head = K.HcState(ring, blk, state.head.blockcounter + 1)
+    else:
+        head, y_head = K.step_hc(state.head, coeffs_new.head, block,
+                                 interpret=interpret, use_pallas=use_pallas)
+
+    zero = jnp.zeros((), dtype=r_phase.dtype)
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, r_phase * n))
+    tail_slice = jax.lax.dynamic_slice(
+        state.pending[0], (zero, r_phase * n), (c, n))
+
+    def fire(args):
+        tail, pending, inbuf = args
+        tail, z = step_nu_crossfade_tiled_head(
+            tail, coeffs_old.tail, coeffs_new.tail, inbuf,
+            head_ramp=(inner_mode == "ramp"), interpret=interpret,
+            use_pallas=use_pallas)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+        return tail, pending
+
+    def hold(args):
+        tail, pending, _ = args
+        return tail, pending
+
+    tail, pending = jax.lax.cond(
+        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+
+    out = y_head + tail_slice
+    return Nu3State(head, tail, inbuf, pending), out
+
+
 def process_blocks_nu3(state: Nu3State, coeffs: Nu3Coeffs, blocks,
                        interpret: bool = False, use_pallas: bool = True):
     """lax.scan of ``step_nu3`` over [B, C, N] blocks; valid from any

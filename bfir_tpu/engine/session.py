@@ -88,6 +88,8 @@ class StreamProcessor:
         self._nuspec = None
         self._nu_old = None  # old coeffs during a nonuniform crossfade
         self._nu_xfade = None  # (ramp, hold) jitted crossfade steps
+        self._nu3_xfade = None  # jitted nu3 transition steps by (ramp, mode)
+        self._nu3_stage = None  # "outer" | "inner" during a nu3 transition
         self._scan_nu = None
         self._scan_nu_fast = None
         self._dither_state = None
@@ -155,11 +157,12 @@ class StreamProcessor:
                 self._active = False
             return
         fspec = self._runtime_filter_spec
-        if self._impl == "nonuniform3":
-            # three-stage crossfade not implemented: a live change takes a
-            # full rebuild (the reference's own behavior for every change,
-            # foo_dsp_bfir.cpp:112-140); glitch-free swap stays available on
-            # the other five engine paths
+        if self._impl == "nonuniform3" and self._nu_old is not None:
+            # a second change landing mid-transition on the three-stage
+            # engine takes a full rebuild (the two-stage path handles this
+            # gracefully via _nu_old head-substitution; composing it across
+            # two tail cadences is not worth the state machine) — documented
+            # divergence, PARITY.md
             self._channels = 0
             self._pending_swap = None
             return
@@ -182,6 +185,12 @@ class StreamProcessor:
             new_coeffs = NU.nu_coeffs(built.impulse, self._nuspec,
                                       self._channels, scale=built.scale,
                                       precise=config.filter.dtype == "float64")
+        elif self._impl == "nonuniform3":
+            from bfir_tpu.core import nonuniform as NU
+
+            new_coeffs = NU.nu3_coeffs(built.impulse, self._nuspec,
+                                       self._channels, scale=built.scale,
+                                       precise=config.filter.dtype == "float64")
         elif self._impl == "extended":
             from bfir_tpu.kernels import extended as E
 
@@ -342,7 +351,9 @@ class StreamProcessor:
         self._impl = impl
         self._xfade_packed = None  # lazily rebound: it closes over the impl
         self._nu_xfade = None
+        self._nu3_xfade = None
         self._nu_old = None
+        self._nu3_stage = None
         self._nuspec = None  # set by the nu-geometry branches below
         self._scan_packed = None  # bulk lax.scan for packed/hc/extended
         fspec = self._runtime_filter_spec
@@ -631,6 +642,33 @@ class StreamProcessor:
             self._nu_xfade = (mk(True), mk(False))
         return self._nu_xfade
 
+    def _nu3_xfade_steps(self):
+        """Lazily jitted three-stage transition steps keyed by
+        (head_ramp, inner_mode) — the sequence step_nu3_crossfade's
+        docstring defines; the block loop drives it host-side."""
+        if self._nu3_xfade is None:
+            from bfir_tpu.core import nonuniform as NU
+
+            interp = jax.default_backend() == "cpu"
+            up = not interp
+            mk = lambda hr, mode: self._wjit(
+                lambda s, o, nw, blk: NU.step_nu3_crossfade(
+                    s, o, nw, blk, head_ramp=hr, inner_mode=mode,
+                    interpret=interp, use_pallas=up))
+            self._nu3_xfade = {
+                (True, "ramp"): mk(True, "ramp"),
+                (False, "ramp"): mk(False, "ramp"),
+                (False, "hold"): mk(False, "hold"),
+            }
+        return self._nu3_xfade
+
+    def _nu3_fire_phases(self):
+        """(outer_fires, inner_fires) for the block about to be stepped."""
+        cnt = int(np.asarray(self._state.head.blockcounter))
+        r1 = self._nuspec.ratio1
+        r2 = self._nuspec.inner.ratio
+        return (cnt % r1 == r1 - 1, (cnt // r1) % r2 == r2 - 1)
+
     def _resolve_mesh(self):
         if self._mesh is None:
             from bfir_tpu.parallel import mesh as M
@@ -750,7 +788,37 @@ class StreamProcessor:
                 self._pending = buf[:, :0]
                 return np.concatenate(outs, axis=1)
             with self.block_timer.measure():
-                if swap is not None and self._nu_protocol:
+                if swap is not None and self._impl == "nonuniform3":
+                    # three-stage transition (VERDICT r3 next #4): outer head
+                    # ramps now; the inner engine bridges at its next step
+                    # (its own ramp), its far stage at its next fire — see
+                    # core.nonuniform.step_nu3_crossfade. The block loop
+                    # tracks the stage machine host-side.
+                    self._pending_swap = None
+                    steps3 = self._nu3_xfade_steps()
+                    fires, inner_fires = self._nu3_fire_phases()
+                    self._state, out = steps3[(True, "ramp")](
+                        self._state, self._coeffs, swap, block)
+                    if fires and inner_fires:
+                        self._nu_old = None  # whole transition in one block
+                    else:
+                        self._nu_old = self._coeffs
+                        self._nu3_stage = "inner" if fires else "outer"
+                    self._coeffs = swap
+                elif (swap is None and self._impl == "nonuniform3"
+                      and self._nu_old is not None):
+                    steps3 = self._nu3_xfade_steps()
+                    fires, inner_fires = self._nu3_fire_phases()
+                    mode = "ramp" if self._nu3_stage == "outer" else "hold"
+                    self._state, out = steps3[(False, mode)](
+                        self._state, self._nu_old, self._coeffs, block)
+                    if fires:
+                        if inner_fires:
+                            self._nu_old = None  # far stage bridged: done
+                            self._nu3_stage = None
+                        else:
+                            self._nu3_stage = "inner"
+                elif swap is not None and self._nu_protocol:
                     # two-stage crossfade: intra-block head ramp now; the
                     # tail bridges at its first fire after the change (one
                     # extra MAC there) — see core.nonuniform.step_nu_crossfade.

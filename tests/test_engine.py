@@ -575,13 +575,15 @@ def test_session_nonuniform3_engine_mode(cache, tmp_path):
     snr2 = 10 * np.log10(float((ref2**2).sum()) / float(((y2 - ref2)**2).sum()))
     assert snr2 > 100, snr2
 
-    # reconfigure: full rebuild (no crossfade on the three-stage path)
+    # reconfigure: same geometry queues the staged crossfade (r4 — the
+    # full transition is exercised in
+    # test_session_nonuniform3_reconfigure_crossfade)
     h2 = h * 0.5
     p2 = save_impulse(tmp_path, "hnu3b.wav", h2)
     sp.reconfigure(dataclasses.replace(
         make_config(tmp_path, files=[(p2, 0, False)], dtype="float32"),
         engine_mode="nonuniform3"))
-    assert sp._pending_swap is None
+    assert sp._pending_swap is not None
     y3 = sp.process(x[:, :4 * 256])
     assert sp._impl == "nonuniform3"
     assert y3.shape == (2, 4 * 256)
@@ -637,3 +639,52 @@ def test_pipelined_nan_abort_loses_no_samples(cache, tmp_path):
     np.testing.assert_allclose(y, x, atol=1e-9)
     np.testing.assert_array_equal(y[:, 3 * 256:], x[:, 3 * 256:])
     assert sp._failed
+
+
+def test_session_nonuniform3_reconfigure_crossfade(cache, tmp_path):
+    """Live filter change on the three-stage engine is glitch-free (VERDICT
+    r3 next #4): the session drives the staged transition (outer head ramp
+    -> inner ramp -> far bridging) and converges to the new filter, with no
+    full rebuild (state and warm history preserved)."""
+    import dataclasses
+
+    rng = np.random.default_rng(63)
+    block = 64
+    # smallest geometry the session's nu3 auto-build accepts at this block
+    taps = 16 * block + 16 * (8 * block) + 4 * (64 * block) + 100
+    h1 = (rng.standard_normal((2, taps)) * 0.05).astype(np.float64)
+    h2 = (rng.standard_normal((2, taps)) * 0.05).astype(np.float64)
+    p1 = save_impulse(tmp_path, "nu3a.wav", h1)
+    p2 = save_impulse(tmp_path, "nu3b.wav", h2)
+
+    def cfg(path):
+        return dataclasses.replace(
+            make_config(tmp_path, files=[(path, 0, False)], block=block,
+                        dtype="float32"),
+            engine_mode="nonuniform3")
+
+    sp = StreamProcessor(cfg(p1), cache)
+    nwarm = 80
+    x1 = rng.standard_normal((2, nwarm * block))
+    y1 = sp.process(x1)
+    assert sp._impl == "nonuniform3", sp._impl
+    state_before = sp._state
+    sp.reconfigure(cfg(p2))
+    assert sp._pending_swap is not None, "same geometry => transition queued"
+    assert sp._state is state_before, "no rebuild on nu3 reconfigure"
+    # far bridging lands within sup=64 blocks of the swap; its ramped
+    # M2-block then drains through inner (D2) + outer (D1) pending queues
+    # -- ~sup*(D1+D2+3) = 448 blocks; measure well past that
+    ntail = 560
+    x2 = rng.standard_normal((2, ntail * block))
+    y2 = sp.process(x2)
+    assert sp._nu_old is None, "transition must complete within the stream"
+    x = np.concatenate([x1, x2], axis=1)
+    y = np.concatenate([y1, y2], axis=1)
+    ref2 = np.stack([signal.fftconvolve(x[c], h2[c])[: x.shape[1]]
+                     for c in range(2)])
+    seg = slice((nwarm + ntail - 32) * block, (nwarm + ntail) * block)
+    num = float((ref2[:, seg] ** 2).sum())
+    den = float(((y[:, seg] - ref2[:, seg]) ** 2).sum())
+    snr = 10 * np.log10(num / max(den, 1e-30))
+    assert snr > 100, snr

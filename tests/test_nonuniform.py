@@ -525,3 +525,123 @@ def test_nu3_pallas_interpret():
     ref = _scipy_ref(h, x, y.shape[1])
     err = np.abs(y - ref).max() / np.abs(ref).max()
     assert err < 1e-4, err
+
+
+# ---------------------------------------------------------------------------
+# Three-stage crossfade (VERDICT r3 next #4): the two-stage law composed
+# recursively — continuity + convergence, mirroring the nu2 suite above.
+# ---------------------------------------------------------------------------
+
+
+def _run_nu3_crossfade(spec, h1, h2, x, swap_block):
+    """Stream with h1, start the three-stage transition at ``swap_block``,
+    then continue with h2 — the exact host-side stage machine
+    engine.session drives (see step_nu3_crossfade docstring)."""
+    c = h1.shape[0]
+    n = spec.block_length
+    r1, r2 = spec.ratio1, spec.inner.ratio
+    c1 = NU.nu3_coeffs(h1, spec, c)
+    c2 = NU.nu3_coeffs(h2, spec, c)
+    st = NU.init_nu3_state(spec, c)
+    blocks = x.reshape(c, -1, n).transpose(1, 0, 2)
+    outs = []
+    stage = None  # None | "outer" | "inner"
+    for b in range(blocks.shape[0]):
+        blk = jnp.asarray(blocks[b])
+        cnt = int(st.head.blockcounter)
+        fires = cnt % r1 == r1 - 1
+        inner_fires = (cnt // r1) % r2 == r2 - 1
+        if b == swap_block:
+            st, y = NU.step_nu3_crossfade(st, c1, c2, blk, head_ramp=True,
+                                          inner_mode="ramp", use_pallas=False)
+            stage = None if (fires and inner_fires) else (
+                "inner" if fires else "outer")
+        elif stage == "outer":
+            st, y = NU.step_nu3_crossfade(st, c1, c2, blk, head_ramp=False,
+                                          inner_mode="ramp", use_pallas=False)
+            if fires:
+                stage = None if inner_fires else "inner"
+        elif stage == "inner":
+            st, y = NU.step_nu3_crossfade(st, c1, c2, blk, head_ramp=False,
+                                          inner_mode="hold", use_pallas=False)
+            if fires and inner_fires:
+                stage = None
+        else:
+            co = c1 if b < swap_block else c2
+            st, y = NU.step_nu3(st, co, blk, use_pallas=False)
+        outs.append(np.asarray(y))
+    return np.concatenate(outs, axis=1)
+
+
+def _nu3_small_spec():
+    return NU.Nu3Spec(block_length=8, ratio1=2, p_head=4,
+                      inner=NU.NuSpec(block_length=16, ratio=2, p_head=4,
+                                      p_tail=2))
+
+
+def test_nu3_crossfade_identity_is_plain_step():
+    """old == new collapses the three-stage transition to the plain engine
+    (every ramp mixes identical signals)."""
+    rng = np.random.default_rng(60)
+    spec = _nu3_small_spec()
+    c = 2
+    h = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    x = rng.standard_normal((c, 40 * spec.block_length)).astype(np.float32)
+    for swap in (9, 10, 11, 13):  # covers all (outer, inner) phase cases
+        y = _run_nu3_crossfade(spec, h, h, x, swap_block=swap)
+        _, ref = _run_nu3(spec, h, x, use_pallas=False)
+        np.testing.assert_allclose(y, ref, atol=2e-5 * np.abs(ref).max(),
+                                   err_msg=f"swap at block {swap}")
+
+
+def test_nu3_crossfade_converges_to_new_filter():
+    """After every stage has bridged (outer head ramp, inner head ramp at
+    the next inner step, far bridging at the next far fire) and the pending
+    queues have flushed, the stream is exactly the new filter's."""
+    rng = np.random.default_rng(61)
+    spec = _nu3_small_spec()
+    c = 2
+    n = spec.block_length
+    r1, r2 = spec.ratio1, spec.inner.ratio
+    h1 = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    h2 = rng.standard_normal((c, spec.max_taps)).astype(np.float32)
+    nblk = 96
+    x = rng.standard_normal((c, nblk * n)).astype(np.float32)
+    swap = 11
+    y = _run_nu3_crossfade(spec, h1, h2, x, swap_block=swap)
+    _, ref2 = _run_nu3(spec, h2, x, use_pallas=False)
+    # settle: the far bridging fire lands within r1*r2 blocks of the swap;
+    # its ramped M2-block drains through both pending queues (D2 inner +
+    # D1 outer fires) and every ring must hold only post-swap history
+    sup = r1 * r2
+    settle = swap + sup * (spec.inner.delay_blocks + spec.delay_blocks + 3) \
+        + spec.p_head + spec.inner.p_head * r1
+    assert settle < nblk
+    np.testing.assert_allclose(
+        y[:, settle * n:], ref2[:, settle * n:],
+        atol=2e-5 * np.abs(ref2).max())
+
+
+def test_nu3_crossfade_is_continuous():
+    """No sample-level glitch anywhere across the three-stage change
+    (mirrors test_nu_crossfade_is_continuous)."""
+    rng = np.random.default_rng(62)
+    spec = _nu3_small_spec()
+    c = 2
+    n = spec.block_length
+    taps = spec.max_taps
+
+    def smooth_filter(seed):
+        r = np.random.default_rng(seed)
+        hh = r.standard_normal((c, taps)) * np.exp(-np.arange(taps) / 6.0)
+        return (hh / np.abs(hh).sum(axis=1, keepdims=True)).astype(np.float32)
+
+    h1, h2 = smooth_filter(1), smooth_filter(2)
+    t = np.arange(90 * n)
+    sig = np.sin(2 * np.pi * t / 37.0)
+    x = np.stack([sig, sig]).astype(np.float32)
+    y = _run_nu3_crossfade(spec, h1, h2, x, swap_block=20)
+    _, ys = _run_nu3(spec, h1, x, use_pallas=False)
+    steady = np.abs(np.diff(ys[:, 5 * n:], axis=1)).max()
+    trans = np.abs(np.diff(y[:, 5 * n:], axis=1)).max()
+    assert trans < 3 * steady, (trans, steady)
