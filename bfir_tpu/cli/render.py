@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (skip any accelerator; useful "
                         "when the device is busy or for reproducibility)")
+    p.add_argument("--delay", metavar="SAMPLES[,SAMPLES...]",
+                   help="per-channel output delay in samples (one value "
+                        "broadcasts to all channels) — the reference "
+                        "library's delay capability, delay.cpp:495-600")
+    p.add_argument("--subdelay", metavar="STEPS[,STEPS...]",
+                   help="per-channel fractional delay in 1/16-sample steps "
+                        "(±15), via the Kaiser-sinc interpolator bank "
+                        "(delay.cpp:182-306; adds 16 samples of latency)")
     return p
 
 
@@ -92,10 +100,21 @@ def config_from_args(args) -> EngineConfig:
         eq = EqSpec(enabled=True, mag_steps=tuple(mags),
                     level_steps=int(round(args.eq_level * 10)))
     out_fmt, _ = _SUBTYPE_FOR_FORMAT[args.out_format]
+    from bfir_tpu.core.spec import DelaySpec
+
+    delay = DelaySpec()
+    if getattr(args, "delay", None) or getattr(args, "subdelay", None):
+        samples = tuple(int(v) for v in args.delay.split(",")) \
+            if args.delay else (0,)
+        substeps = tuple(int(v) for v in args.subdelay.split(",")) \
+            if args.subdelay else (0,)
+        delay = DelaySpec(enabled=True, samples=samples,
+                          subsample_steps=substeps)
     return EngineConfig(
         filter=FilterSpec(block_length=args.block, n_partitions=1, dtype=args.dtype),
         stream=StreamSpec(out_format=out_fmt, apply_dither=args.dither),
         chain=ChainSpec(eq=eq, files=tuple(files)),
+        delay=delay,
         engine_mode=getattr(args, "engine_mode", "auto"),
     )
 

@@ -38,6 +38,7 @@ import threading
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from bfir_tpu.core import convolver as cv
@@ -95,6 +96,11 @@ class StreamProcessor:
         self._dither_state = None
         self._overflow = None
         self._last_overflow = None
+        self._delay_call = None
+        self._delay_scan = None
+        self._delay_state = None
+        self._delay_vecs = ()
+        self._delay_dmax = 0
         self._scan = self._wjit(cv.process_blocks, donate_argnums=0)
         self.reported_latency = 0  # parity: foo_dsp_bfir.cpp:372-375
         self.n_partitions = 0
@@ -126,12 +132,24 @@ class StreamProcessor:
         if not self._channels or not self._active:
             self._channels = 0  # full (re)build on next process()
             return
+        # delay-line geometry: runtime delay-VALUE changes are applied live
+        # (the reference's change_delay, delay.cpp:552-600); changes to the
+        # line's build parameters (enable, fractional-ness, bank shape) or a
+        # delay exceeding the built history need a rebuild
+        d_old, d_new = old_cfg.delay, config.delay
+        delay_compat = d_new.enabled == d_old.enabled and (
+            not d_new.enabled
+            or (d_new.fractional == d_old.fractional
+                and d_new.step_count == d_old.step_count
+                and d_new.half_length == d_old.half_length
+                and max(d_new.samples) <= self._delay_dmax))
         same_geom = (
             config.filter.block_length == old_cfg.filter.block_length
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
             and config.nu_tail_store == old_cfg.nu_tail_store
             and config.sharded_local == old_cfg.sharded_local
+            and delay_compat
             # crossfade is implemented on every engine path (complex:
             # cv.step_crossfade; sharded: ppermute crossfade step; packed:
             # kernels.spectrum_mac.step_packed_crossfade)
@@ -199,6 +217,13 @@ class StreamProcessor:
         else:
             new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._pending_swap = new_coeffs  # picked up at the next block
+        if d_new.enabled:  # live delay-value update (state/history kept)
+            samples, substeps = d_new.per_channel(self._channels)
+            if d_new.fractional:
+                self._delay_vecs = (jnp.asarray(samples, jnp.int32),
+                                    jnp.asarray(substeps, jnp.int32))
+            else:
+                self._delay_vecs = (jnp.asarray(samples, jnp.int32),)
 
     def reset(self) -> None:
         """brutefir::reset (brutefir.cpp:345-367): clear all running state."""
@@ -278,6 +303,59 @@ class StreamProcessor:
             self._dither_state = dth.init_dither_state(self._channels, dtype=dt)
         else:
             self._dither_state = None
+        self._build_delay(fspec)
+
+    def _build_delay(self, fspec) -> None:
+        """Per-channel output delay line (EngineConfig.delay — the reference
+        library's delay capability, delay.cpp:495-600, applied at the
+        engine's output like brutefir's run loop). Integer delays use the
+        history-gather (ops.delay.apply_delay); any nonzero subsample step
+        switches to the Kaiser-sinc fractional bank
+        (ops.delay.FractionalDelayLine), which adds ``half_length`` samples
+        of extra latency (the causal span of the interpolator, exactly the
+        reference's subsample filter delay)."""
+        dcfg = self.config.delay
+        if not dcfg.enabled:
+            self._delay_call = None
+            self._delay_scan = None
+            self._delay_state = None
+            self._delay_vecs = ()
+            self._delay_dmax = 0
+            return
+        from bfir_tpu.ops import delay as dl
+
+        samples, substeps = dcfg.per_channel(self._channels)
+        dt = jnp.float32 if fspec.dtype == "float32" else jnp.float64
+        self._delay_dmax = max(max(samples), 1)
+        if dcfg.fractional:
+            line = dl.FractionalDelayLine(
+                self._channels, self._delay_dmax, dcfg.step_count,
+                dcfg.half_length, dtype=dt)
+            fn = lambda st, blk, di, ds: line(st, blk.astype(dt), di, ds)
+            self._delay_vecs = (jnp.asarray(samples, jnp.int32),
+                                jnp.asarray(substeps, jnp.int32))
+            self._delay_state = line.init_state()
+        else:
+            fn = lambda st, blk, d: dl.apply_delay(st, blk.astype(dt), d)
+            self._delay_vecs = (jnp.asarray(samples, jnp.int32),)
+            self._delay_state = dl.init_delay_state(
+                self._channels, self._delay_dmax, dtype=dt)
+        self._delay_call = self._wjit(fn, donate_argnums=0)
+        # bulk form: per-block lax.scan (one dispatch; the fractional line's
+        # [C, T, K] window gather would not scale to whole buffers)
+        self._delay_scan = self._wjit(
+            lambda st, blks, *v: jax.lax.scan(
+                lambda s, b: fn(s, b, *v), st, blks),
+            donate_argnums=0)
+
+    def _apply_delay(self, out):
+        """Apply the configured output delay to one produced block/buffer
+        (device-side, stateful; no-op when delay is disabled)."""
+        if self._delay_call is None:
+            return out
+        self._delay_state, out = self._delay_call(
+            self._delay_state, jax.numpy.asarray(out), *self._delay_vecs)
+        return out
 
     def _initialize(self, n_channels: int, rate: int) -> None:
         re_init = self._channels != 0
@@ -765,7 +843,7 @@ class StreamProcessor:
                     self._state, out = self._sharded.step(self._state, self._coeffs, block)
                 else:
                     self._state, out = self._step(self._state, self._coeffs, block)
-                inflight.append((block, out))
+                inflight.append((block, self._apply_delay(out)))
                 if len(inflight) >= self.MAX_INFLIGHT:
                     # partial drain: fetch the older half, keep the pipeline
                     # primed (fetches of the kept half stay overlapped)
@@ -870,7 +948,7 @@ class StreamProcessor:
                         self._state, out = self._xfade_step(
                             self._state, self._coeffs, swap, block)
                     self._coeffs = swap
-                out_np = np.asarray(out)
+                out_np = np.asarray(self._apply_delay(out))
             # single-sample NaN/Inf guard (brutefir.cpp:313-321)
             if not np.isfinite(out_np[0, 0]):
                 pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
@@ -956,6 +1034,11 @@ class StreamProcessor:
             pinfo("NaN or Inf values in the system! Invalid input? Aborting.")
             self._failed = True
             return blocks.transpose(1, 0, 2).reshape(c, -1)
+        if self._delay_call is not None:
+            self._delay_state, outs = self._delay_scan(
+                self._delay_state, jax.numpy.asarray(out_np),
+                *self._delay_vecs)
+            out_np = np.asarray(outs)
         y = out_np.transpose(1, 0, 2).reshape(c, -1)
         if self.config.stream.out_format.isfloat:
             self._overflow = fm.count_float_overflow(jax.numpy.asarray(y), self._overflow)
