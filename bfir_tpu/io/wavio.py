@@ -42,6 +42,14 @@ class WavInfo:
 
 
 def _parse_chunks(data: bytes):
+    """Chunk map for plain RIFF/WAVE, RF64 (EBU 64-bit WAV,
+    SF_FORMAT_RF64) and Sonic Foundry W64 (SF_FORMAT_W64) containers —
+    the libsndfile majors that are WAV in different framing
+    (/root/reference/libsndfile/sndfile.h:58,73)."""
+    if len(data) >= 12 and data[0:4] == b"RF64" and data[8:12] == b"WAVE":
+        return _parse_chunks_rf64(data)
+    if len(data) >= 40 and data[0:4] == b"riff" and data[24:28] == b"wave":
+        return _parse_chunks_w64(data)
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -53,6 +61,58 @@ def _parse_chunks(data: bytes):
         if cid not in chunks:  # keep first occurrence
             chunks[cid] = body
         pos += 8 + size + (size & 1)
+    return chunks
+
+
+def _parse_chunks_rf64(data: bytes):
+    """RF64: RIFF chunk layout, but the riff/data sizes live in a mandatory
+    ``ds64`` chunk (any 32-bit size field equal to 0xFFFFFFFF defers to
+    it). Spec: EBU tech 3306."""
+    pos = 12
+    chunks = {}
+    ds64_data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if cid == b"ds64":
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) < 16:
+                raise ValueError("truncated RF64 ds64 chunk")
+            _riff64, ds64_data_size = struct.unpack_from("<QQ", body, 0)
+            pos += 8 + size + (size & 1)
+            continue
+        if size == 0xFFFFFFFF:
+            if cid != b"data" or ds64_data_size is None:
+                raise ValueError(
+                    "RF64 64-bit size for a chunk the ds64 table does not "
+                    f"cover ({cid!r})")
+            size = ds64_data_size
+        body = data[pos + 8 : pos + 8 + size]
+        if cid not in chunks:
+            chunks[cid] = body
+        pos += 8 + size + (size & 1)
+    if b"fmt " not in chunks:
+        raise ValueError("RF64 file missing fmt chunk")
+    return chunks
+
+
+def _parse_chunks_w64(data: bytes):
+    """W64: 16-byte GUID chunk ids whose first four bytes spell the RIFF
+    id, 8-byte little-endian sizes that INCLUDE the 24-byte chunk header,
+    8-byte alignment."""
+    pos = 40  # riff GUID(16) + size(8) + wave GUID(16)
+    chunks = {}
+    while pos + 24 <= len(data):
+        cid = data[pos : pos + 4]  # leading 4 GUID bytes spell the id
+        (size,) = struct.unpack_from("<Q", data, pos + 16)
+        if size < 24:
+            raise ValueError("invalid W64 chunk size")
+        body = data[pos + 24 : pos + size]
+        if cid not in chunks:
+            chunks[cid] = body
+        pos += (size + 7) & ~7  # chunks align to 8 bytes
+    if b"fmt " not in chunks:
+        raise ValueError("W64 file missing fmt chunk")
     return chunks
 
 
