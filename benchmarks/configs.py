@@ -10,7 +10,11 @@ script evidences the full workload matrix):
 2. stereo 10-band EQ -> FIR render -> 16384-tap convolution + 16-bit dither
 3. low-latency: 8 partitions x 512 taps, stereo, block 512
 4. 8-channel room correction, 65536 taps/ch @ 96 kHz, 44.1->96 resample
-(5. pod-scale lives in parallel/ — exercised by dryrun_multichip and
+5. long-filter tier (VERDICT r3 next #6): 64 ch x 640 partitions
+   (655360 taps ≈ 15 s reverb @ 44.1 kHz) — differential device floors of
+   the two-stage AND three-stage engines at the same geometry, evidencing
+   the session auto-mode crossover (nonuniform3 at P >= 640)
+(6. pod-scale lives in parallel/ — exercised by dryrun_multichip and
     tests/test_parallel.py on a virtual mesh; real multi-host needs a pod.)
 """
 
@@ -149,6 +153,122 @@ def config4(jax, jnp):
                 snr_db=snr_db(y[0], ref), resample_s=resample_s)
 
 
+def _nu_floor(mk_scan, init_state, coeffs, k1, k2, n_draws, c, jax, jnp):
+    """Differential device floor of a nu/nu3 scan: seconds per N-block
+    (bench.py's protocol: min-of-draws, two interleaved rounds)."""
+    import jax as _jax
+
+    times = {k1: [], k2: []}
+    scans, pools = {}, {}
+    st = init_state()
+    rng = np.random.default_rng(9)
+    n = 1024
+    for kk in (k1, k2):
+        scans[kk] = mk_scan()
+        pools[kk] = [jax.device_put(rng.standard_normal(
+            (kk, c, n)).astype(np.float32)) for _ in range(2)]
+        _jax.block_until_ready(pools[kk])
+        t0 = time.time()
+        st, o = scans[kk](st, coeffs, pools[kk][0])
+        float(jnp.sum(o))
+        log(f"  floor compile (K={kk}): {time.time()-t0:.1f}s")
+    for _round in range(2):
+        for kk in (k1, k2):
+            for i in range(n_draws):
+                t0 = time.time()
+                st, o = scans[kk](st, coeffs, pools[kk][i % 2])
+                float(jnp.sum(o))
+                times[kk].append(time.time() - t0)
+    return max((min(times[k2]) - min(times[k1])) / (k2 - k1), 1e-9)
+
+
+def config5(jax, jnp):
+    """Long-filter tier: 64 ch x 655360 taps. Measures the two-stage and
+    three-stage engines' device floors at the SAME geometry class the
+    session auto-mode decides between (nonuniform3 above 640 partitions;
+    crossover measured ~600k taps, CLAUDE.md), each scipy-verified first."""
+    from scipy import signal
+
+    from bfir_tpu.core import nonuniform as NU
+
+    on_cpu = jax.default_backend() == "cpu"
+    c = 4 if on_cpu else 64
+    n = 1024
+    taps = (640 * n) if not on_cpu else (40 * n)
+    rng = np.random.default_rng(5)
+    h = (rng.standard_normal((c, taps)) *
+         np.exp(-np.arange(taps) / 60000.0)).astype(np.float32) * 0.05
+    interp = on_cpu
+
+    out = dict(config=5, desc=f"long-filter tier: {c}ch x {taps} taps "
+               "(nu2 vs nu3 floors)")
+
+    # ---- two-stage at this length
+    spec2 = NU.nu_geometry(taps, n, ratio=8)
+    co2 = NU.nu_coeffs(h, spec2, c)
+    scan2 = lambda: jax.jit(
+        lambda st, co, blocks: NU.process_blocks_nu_fast(
+            st, co, blocks, interpret=interp, use_pallas=not on_cpu),
+        donate_argnums=0)
+    ncheck = (spec2.delay_blocks + 2) * spec2.ratio
+    st = NU.init_nu_state(spec2, c)
+    xs = rng.standard_normal((c, ncheck * n)).astype(np.float32)
+    blocks = jnp.asarray(xs.reshape(c, ncheck, n).transpose(1, 0, 2))
+    t0 = time.time()
+    st, o = scan2()(st, co2, blocks)
+    y = np.asarray(o).transpose(1, 0, 2).reshape(c, -1)
+    log(f"  nu2 check ({ncheck} blocks) ran in {time.time()-t0:.1f}s")
+    ref = signal.fftconvolve(xs.astype(np.float64), h.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    snr2 = min(snr_db(y[ch], ref[ch]) for ch in range(c))
+    log(f"  nu2 worst-channel SNR: {snr2:.1f} dB")
+    out["nu2_snr_db"] = snr2
+    if snr2 >= 80:
+        r = spec2.ratio
+        f2 = _nu_floor(scan2, lambda: NU.init_nu_state(spec2, c), co2,
+                       2 * r, (6 if on_cpu else 18) * r,
+                       3 if on_cpu else 8, c, jax, jnp)
+        out["nu2_floor_ms"] = f2 * 1e3
+        out["nu2_sps"] = c * n / f2
+        log(f"  nu2 floor: {f2*1e3:.3f} ms/block")
+
+    # ---- three-stage at the same length
+    spec3 = NU.nu3_geometry(taps, n, ratio1=8, ratio2=8)
+    co3 = NU.nu3_coeffs(h, spec3, c)
+    scan3 = lambda: jax.jit(
+        lambda st, co, blocks: NU.process_blocks_nu3_fast(
+            st, co, blocks, interpret=interp, use_pallas=not on_cpu),
+        donate_argnums=0)
+    sup = spec3.ratio1 * spec3.inner.ratio
+    inner = spec3.inner
+    ncheck3 = -(-(((inner.delay_blocks + 2) * inner.ratio
+                   + spec3.delay_blocks) * spec3.ratio1) // sup) * sup
+    st = NU.init_nu3_state(spec3, c)
+    xs = rng.standard_normal((c, ncheck3 * n)).astype(np.float32)
+    blocks = jnp.asarray(xs.reshape(c, ncheck3, n).transpose(1, 0, 2))
+    t0 = time.time()
+    st, o = scan3()(st, co3, blocks)
+    y = np.asarray(o).transpose(1, 0, 2).reshape(c, -1)
+    log(f"  nu3 check ({ncheck3} blocks) ran in {time.time()-t0:.1f}s")
+    ref = signal.fftconvolve(xs.astype(np.float64), h.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    snr3 = min(snr_db(y[ch], ref[ch]) for ch in range(c))
+    log(f"  nu3 worst-channel SNR: {snr3:.1f} dB")
+    out["nu3_snr_db"] = snr3
+    if snr3 >= 80:
+        f3 = _nu_floor(scan3, lambda: NU.init_nu3_state(spec3, c), co3,
+                       sup, (2 if on_cpu else 3) * sup,
+                       2 if on_cpu else 6, c, jax, jnp)
+        out["nu3_floor_ms"] = f3 * 1e3
+        out["nu3_sps"] = c * n / f3
+        log(f"  nu3 floor: {f3*1e3:.3f} ms/block")
+    if "nu2_floor_ms" in out and "nu3_floor_ms" in out:
+        out["auto_pick"] = ("nonuniform3"
+                            if out["nu3_floor_ms"] < out["nu2_floor_ms"]
+                            else "nonuniform")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None)
@@ -161,7 +281,7 @@ def main():
     import jax.numpy as jnp
 
     log(f"backend={jax.default_backend()}")
-    runners = {1: config1, 2: config2, 3: config3, 4: config4}
+    runners = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     todo = [args.config] if args.config else sorted(runners)
     for n in todo:
         try:

@@ -1,6 +1,7 @@
 """Pallas spectrum-MAC kernel (interpret mode on CPU) vs jnp reference and
 the complex-dtype convolver path."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import signal
@@ -307,3 +308,73 @@ def test_dither_pallas_matches_scan():
     np.testing.assert_array_equal(np.asarray(of1.n_overflows), np.asarray(of2.n_overflows))
     np.testing.assert_allclose(np.asarray(of1.largest), np.asarray(of2.largest))
     np.testing.assert_array_equal(np.asarray(of1.intlargest), np.asarray(of2.intlargest))
+
+
+# -- partial-fusion transforms (kernels/fft_fused.py, VERDICT r3 next #3) ---
+
+
+def test_rfft_hc_fused_matches_ops_fft():
+    """Interpret-mode parity of the partial-fusion forward transform vs the
+    production XLA formulation (identical hc layout, fp-level agreement)."""
+    from bfir_tpu.kernels import fft_fused as FF
+    from bfir_tpu.ops import fft as F
+
+    rng = np.random.default_rng(90)
+    for rows, m in ((64, 2048), (8, 4096)):
+        x = rng.standard_normal((rows, m)).astype(np.float32)
+        hr, hi = FF.rfft_hc_fused(jnp.asarray(x), interpret=True)
+        rr, ri = F.rfft_split_hc(jnp.asarray(x))
+        scale = float(np.max(np.abs(np.asarray(rr))))
+        np.testing.assert_allclose(np.asarray(hr), np.asarray(rr),
+                                   atol=1e-3 * scale)
+        np.testing.assert_allclose(np.asarray(hi), np.asarray(ri),
+                                   atol=1e-3 * scale)
+    with pytest.raises(ValueError, match="pow2"):
+        FF.rfft_hc_fused(jnp.zeros((4, 512)), interpret=True)
+
+
+def test_irfft_hc_tail_fused_matches_ops_fft():
+    """The DIF-form fused inverse tail == ops.fft.irfft_hc_tail (the
+    overlap-save tail the hc engine renders every block)."""
+    from bfir_tpu.kernels import fft_fused as FF
+    from bfir_tpu.ops import fft as F
+
+    rng = np.random.default_rng(91)
+    m = 4096
+    yr = rng.standard_normal((16, m // 2)).astype(np.float32)
+    yi = rng.standard_normal((16, m // 2)).astype(np.float32)
+    t1 = FF.irfft_hc_tail_fused(jnp.asarray(yr), jnp.asarray(yi), n=m,
+                                interpret=True)
+    t2 = F.irfft_hc_tail(jnp.asarray(yr), jnp.asarray(yi), n=m)
+    sc = float(np.max(np.abs(np.asarray(t2))))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-3 * sc)
+
+
+def test_fused_roundtrip_convolution_law():
+    """End-to-end law: rfft_hc_fused -> elementwise hc product -> fused
+    tail == the valid block of a linear convolution (the step_hc data
+    path with both transforms swapped for the fused kernels)."""
+    from scipy import signal
+
+    from bfir_tpu.kernels import fft_fused as FF
+    from bfir_tpu.kernels.spectrum_mac import mac_reference_hc
+
+    rng = np.random.default_rng(92)
+    n = 2048
+    m = 2 * n
+    c = 4
+    h = rng.standard_normal((c, n)).astype(np.float32) * 0.1
+    prev = rng.standard_normal((c, n)).astype(np.float32)
+    blk = rng.standard_normal((c, n)).astype(np.float32)
+    frame = np.concatenate([prev, blk], axis=1)
+    hr, hi = FF.rfft_hc_fused(jnp.asarray(frame), interpret=True)
+    cr, ci = FF.rfft_hc_fused(jnp.asarray(np.pad(h, ((0, 0), (0, n)))),
+                              interpret=True)
+    yr, yi = mac_reference_hc(hr[None], hi[None], cr[None], ci[None],
+                              jnp.zeros((), jnp.int32))
+    out = FF.irfft_hc_tail_fused(yr, yi, n=m, interpret=True)
+    ref = np.stack([signal.fftconvolve(frame[ch].astype(np.float64),
+                                       h[ch].astype(np.float64))[n: 2 * n]
+                    for ch in range(c)])
+    np.testing.assert_allclose(np.asarray(out), ref,
+                               atol=1e-4 * np.abs(ref).max())
