@@ -414,7 +414,12 @@ def test_session_nu_tail_store_reachable(cache, tmp_path):
     ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]] for c in range(2)])
     err = np.abs(y - ref)
     snr = 10 * np.log10(float((ref**2).sum()) / float((err**2).sum()))
-    assert snr > 45, snr
+    # pin the BAND, not just the floor (VERDICT r3 weak #5): the bf16 tail's
+    # documented class is ~56 dB + tail energy deficit. Below 50 means the
+    # implementation degraded toward the relaxed 35 dB self-check gate
+    # (where a real miscompile could hide); above 100 means the bf16 store
+    # silently stopped being applied (f32 would read ~130 dB).
+    assert 50 < snr < 100, snr
 
 
 def test_process_buffer_first_call_on_packed_engine(cache, tmp_path):
