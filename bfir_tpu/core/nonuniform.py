@@ -181,10 +181,11 @@ class NuCoeffs(NamedTuple):
 
 
 def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
-              precise: bool = False) -> NuCoeffs:
+              precise: bool = False, shared: bool = False) -> NuCoeffs:
     """Split the impulse at the head/tail boundary and build each stage's
     packed halfcomplex coefficient spectra (kernels.spectrum_mac.hc_coeffs
-    semantics, including ``precise`` f64 build)."""
+    semantics, including ``precise`` f64 build and ``shared``
+    one-filter-for-all-channels planes)."""
     h = jnp.asarray(impulse)
     if h.ndim == 1:
         h = h[None, :]
@@ -199,11 +200,13 @@ def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
     taps = h.shape[-1]
     head_imp = h[:, : min(taps, t1)]
     tail_imp = h[:, t1:] if taps > t1 else jnp.zeros((h.shape[0], 1), h.dtype)
-    tail = K.hc_coeffs(tail_imp, spec.tail_spec, n_channels, scale, precise)
+    tail = K.hc_coeffs(tail_imp, spec.tail_spec, n_channels, scale, precise,
+                       shared=shared)
     if spec.tail_store == "bfloat16":
         tail = tail.astype(jnp.bfloat16)
     return NuCoeffs(
-        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise),
+        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise,
+                         shared=shared),
         tail=tail,
     )
 
@@ -222,8 +225,9 @@ def _tail_mac(ring, coeff, pos, use_pallas: bool, interpret: bool,
     # arithmetic as the kernel)
     ring = ring.astype(jnp.float32) if ring.dtype == jnp.bfloat16 else ring
     coeff = coeff.astype(jnp.float32) if coeff.dtype == jnp.bfloat16 else coeff
+    cs = coeff.shape[1] // 2  # 1 = shared filter (K.hc_coeffs shared=True)
     return K.mac_reference_hc(ring[:, :c], ring[:, c:],
-                              coeff[:, :c], coeff[:, c:], pos)
+                              coeff[:, :cs], coeff[:, cs:], pos)
 
 
 def _tail_step(state: K.HcState, coeff_pk, mblock, use_pallas, interpret):
@@ -294,8 +298,9 @@ def _hc_mac(ring, coeff, pos, use_pallas, interpret):
     c = ring.shape[1] // 2
     if use_pallas:
         return K.mac_pallas_hc(ring, coeff, pos, interpret=interpret)
+    cs = coeff.shape[1] // 2  # 1 = shared filter
     return K.mac_reference_hc(ring[:, :c], ring[:, c:],
-                              coeff[:, :c], coeff[:, c:], pos)
+                              coeff[:, :cs], coeff[:, cs:], pos)
 
 
 def _tail_step2(state: K.HcState, coeff_a, coeff_b, mblock, use_pallas,
@@ -573,7 +578,7 @@ class Nu3Coeffs(NamedTuple):
 
 
 def nu3_coeffs(impulse, spec: Nu3Spec, n_channels: int, scale: float = 1.0,
-               precise: bool = False) -> Nu3Coeffs:
+               precise: bool = False, shared: bool = False) -> Nu3Coeffs:
     h = jnp.asarray(impulse)
     if h.ndim == 1:
         h = h[None, :]
@@ -586,8 +591,10 @@ def nu3_coeffs(impulse, spec: Nu3Spec, n_channels: int, scale: float = 1.0,
     head_imp = h[:, : min(taps, t1)]
     tail_imp = h[:, t1:] if taps > t1 else jnp.zeros((h.shape[0], 1), h.dtype)
     return Nu3Coeffs(
-        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise),
-        tail=nu_coeffs(tail_imp, spec.inner, n_channels, scale, precise),
+        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise,
+                         shared=shared),
+        tail=nu_coeffs(tail_imp, spec.inner, n_channels, scale, precise,
+                       shared=shared),
     )
 
 

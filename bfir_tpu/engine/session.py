@@ -196,19 +196,22 @@ class StreamProcessor:
 
             new_coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
                                      scale=built.scale,
-                                     precise=config.filter.dtype == "float64")
+                                     precise=config.filter.dtype == "float64",
+                                     shared=self._impulse_shared(built.impulse))
         elif self._impl == "nonuniform":
             from bfir_tpu.core import nonuniform as NU
 
             new_coeffs = NU.nu_coeffs(built.impulse, self._nuspec,
                                       self._channels, scale=built.scale,
-                                      precise=config.filter.dtype == "float64")
+                                      precise=config.filter.dtype == "float64",
+                                      shared=self._impulse_shared(built.impulse))
         elif self._impl == "nonuniform3":
             from bfir_tpu.core import nonuniform as NU
 
             new_coeffs = NU.nu3_coeffs(built.impulse, self._nuspec,
                                        self._channels, scale=built.scale,
-                                       precise=config.filter.dtype == "float64")
+                                       precise=config.filter.dtype == "float64",
+                                       shared=self._impulse_shared(built.impulse))
         elif self._impl == "extended":
             from bfir_tpu.kernels import extended as E
 
@@ -304,6 +307,16 @@ class StreamProcessor:
         else:
             self._dither_state = None
         self._build_delay(fspec)
+
+    @staticmethod
+    def _impulse_shared(impulse) -> bool:
+        """True when every channel carries the SAME filter (e.g. EQ-only
+        chains: the reference renders one FIR for all channels,
+        prefs_eq.cpp) — the MAC kernels then read one coefficient plane
+        set and broadcast, cutting coefficient HBM traffic by 1/C."""
+        imp = np.asarray(impulse)
+        return imp.ndim == 2 and imp.shape[0] > 1 and bool(
+            (imp == imp[:1]).all())
 
     def _build_delay(self, fspec) -> None:
         """Per-channel output delay line (EngineConfig.delay — the reference
@@ -495,7 +508,8 @@ class StreamProcessor:
             # build-time only cost, ~9 dB of streaming SNR (hc_coeffs doc)
             precise = self.config.filter.dtype == "float64"
             self._coeffs = K.hc_coeffs(built.impulse, fspec, self._channels,
-                                       scale=built.scale, precise=precise)
+                                       scale=built.scale, precise=precise,
+                                       shared=self._impulse_shared(built.impulse))
             interp = jax.default_backend() == "cpu"
             self._step_packed = self._wjit(
                 lambda s, g, blk: K.step_hc(s, g, blk, interpret=interp),
@@ -529,7 +543,8 @@ class StreamProcessor:
             self._nuspec = nuspec
             precise = self.config.filter.dtype == "float64"
             self._coeffs = NU.nu_coeffs(built.impulse, nuspec, self._channels,
-                                        scale=built.scale, precise=precise)
+                                        scale=built.scale, precise=precise,
+                                        shared=self._impulse_shared(built.impulse))
             interp = jax.default_backend() == "cpu"
             up = not interp
             self._step_packed = self._wjit(
@@ -569,7 +584,8 @@ class StreamProcessor:
             self._nuspec = nuspec
             precise = self.config.filter.dtype == "float64"
             self._coeffs = NU.nu3_coeffs(built.impulse, nuspec, self._channels,
-                                         scale=built.scale, precise=precise)
+                                         scale=built.scale, precise=precise,
+                                         shared=self._impulse_shared(built.impulse))
             interp = jax.default_backend() == "cpu"
             up = not interp
             self._step_packed = self._wjit(

@@ -445,14 +445,19 @@ def mac_pallas_hc(ring_pk, coeff_pk, pos, interpret: bool = False):
 
     p, c2, hp = ring_pk.shape
     c = c2 // 2
+    # SHARED-coefficient form: coeff [P, 2, Hp] (one filter for every
+    # channel — the broadcast chains of the reference plugin, e.g. EQ-only:
+    # prefs_eq renders ONE FIR for all channels). Coefficient HBM traffic
+    # drops by 1/C; the products broadcast across the channel sublanes.
+    cs = coeff_pk.shape[1] // 2
     dt = ring_pk.dtype
 
     def kernel(pos_ref, r, g, yr, yi):
         i = pl.program_id(0)
         rr = r[0, :c, :]
         ri = r[0, c:, :]
-        cr = g[0, :c, :]
-        ci = g[0, c:, :]
+        cr = g[0, :cs, :]
+        ci = g[0, cs:, :]
         p1 = cr * rr
         p2 = ci * ri
         dc = jax.lax.broadcasted_iota(jnp.int32, (c, hp), 1) == 0
@@ -480,7 +485,7 @@ def mac_pallas_hc(ring_pk, coeff_pk, pos, interpret: bool = False):
         grid=(p,),
         in_specs=[
             pl.BlockSpec((1, c2, hp), ring_map),
-            pl.BlockSpec((1, c2, hp), coeff_map),
+            pl.BlockSpec((1, 2 * cs, hp), coeff_map),
         ],
         out_specs=[
             pl.BlockSpec((c, hp), lambda i, pos_ref: (0, 0)),
@@ -517,6 +522,7 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
 
     p, c2, hp = ring_pk.shape
     c = c2 // 2
+    cs = coeff_pk.shape[1] // 2  # 1 = shared filter (see mac_pallas_hc)
     # reduced-precision storage (bfloat16 ring/coeff) still accumulates in
     # f32: the DMA halves, the arithmetic doesn't change
     dt = (jnp.float32 if ring_pk.dtype in (jnp.bfloat16, jnp.float16)
@@ -530,8 +536,8 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
         i = pl.program_id(1)
         rr = r[0, :c, :].astype(dt)
         ri = r[0, c:, :].astype(dt)
-        cr = g[0, :c, :].astype(dt)
-        ci = g[0, c:, :].astype(dt)
+        cr = g[0, :cs, :].astype(dt)
+        ci = g[0, cs:, :].astype(dt)
         p1 = cr * rr
         p2 = ci * ri
         dc = jnp.logical_and(
@@ -564,7 +570,7 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
         grid=(nf, p),
         in_specs=[
             pl.BlockSpec((1, c2, tile), ring_map),
-            pl.BlockSpec((1, c2, tile), coeff_map),
+            pl.BlockSpec((1, 2 * cs, tile), coeff_map),
         ],
         out_specs=[
             pl.BlockSpec((c, tile), out_map),
@@ -790,9 +796,16 @@ def init_hc_state(spec: FilterSpec, n_channels: int) -> HcState:
 
 
 def hc_coeffs(impulse, spec: FilterSpec, n_channels: int, scale: float = 1.0,
-              precise: bool = False):
+              precise: bool = False, shared: bool = False):
     """Partitioned coefficient spectra in packed halfcomplex form
     [P, 2C, Hp] (broadcast to n_channels).
+
+    ``shared``: keep ONE filter's planes ([P, 2, Hp]) instead of
+    broadcasting — the MAC kernels broadcast across channel sublanes
+    in-register, cutting coefficient HBM traffic by 1/C for chains whose
+    channels share the filter (the reference plugin's EQ-only chains render
+    one FIR for all channels, prefs_eq.cpp). Requires a 1-channel (or
+    all-rows-identical) impulse.
 
     ``precise``: compute the partition FFTs on the host in float64 (numpy)
     and round once to the engine dtype. Coefficients are built once per
@@ -805,6 +818,11 @@ def hc_coeffs(impulse, spec: FilterSpec, n_channels: int, scale: float = 1.0,
     for dtype float64 requests on f32-only backends."""
     n, p = spec.block_length, spec.n_partitions
     hp = _round_up(spec.n_fft // 2, 128)
+    if shared:
+        imp = np.asarray(impulse)
+        if imp.ndim == 2 and imp.shape[0] > 1:
+            imp = imp[:1]  # caller asserts all rows identical
+        return hc_coeffs(imp, spec, 1, scale=scale, precise=precise)
     if precise:
         h64 = np.asarray(impulse, dtype=np.float64) * float(scale)
         if h64.ndim == 1:
@@ -885,8 +903,9 @@ def step_hc(
     if use_pallas:
         yr, yi = mac_pallas_hc(ring, coeff_pk, pos, interpret=interpret)
     else:
+        cs = coeff_pk.shape[1] // 2  # 1 = shared filter
         yr, yi = mac_reference_hc(ring[:, :c], ring[:, c:],
-                                  coeff_pk[:, :c], coeff_pk[:, c:], pos)
+                                  coeff_pk[:, :cs], coeff_pk[:, cs:], pos)
     if tail_direct:
         out = F.irfft_hc_tail(yr, yi, n=2 * n)
     else:

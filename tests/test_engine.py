@@ -787,3 +787,58 @@ def test_delay_live_value_change_and_spec_validation(cache, tmp_path):
 
     cfg2 = engine_config_from_json(to_json(cfg))
     assert cfg2.delay == cfg.delay
+
+
+def test_session_shared_coeffs_for_identical_channels(cache, tmp_path):
+    """A chain whose channels share one filter (e.g. mono impulse broadcast,
+    EQ-only chains) builds SHARED coefficient planes — [P, 2, Hp] instead of
+    [P, 2C, Hp], 1/C the coefficient HBM traffic — and streams identically."""
+    import dataclasses
+
+    rng = np.random.default_rng(97)
+    h1 = rng.standard_normal((1, 900)) * 0.05  # mono -> broadcast by chain
+    p = save_impulse(tmp_path, "mono_sh.wav", h1)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="hc")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 12 * 256))
+    y = sp.process(x)
+    assert sp._impl == "hc"
+    assert sp._coeffs.shape[1] == 2, sp._coeffs.shape  # shared planes
+    ref = np.stack([signal.fftconvolve(x[c], h1[0])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
+
+    # distinct-channel chains keep full planes
+    h2 = rng.standard_normal((2, 900)) * 0.05
+    p2 = save_impulse(tmp_path, "st_sh.wav", h2)
+    sp2 = StreamProcessor(dataclasses.replace(
+        make_config(tmp_path, files=[(p2, 0, False)], dtype="float32"),
+        engine_mode="hc"), ArtifactCache(str(tmp_path / "p2")))
+    sp2.process(x)
+    assert sp2._coeffs.shape[1] == 4  # 2C
+
+
+def test_session_shared_coeffs_nonuniform(cache, tmp_path):
+    """Shared planes thread through the two-stage engine (head + tail)."""
+    import dataclasses
+
+    rng = np.random.default_rng(98)
+    taps = 16 * 256 + 3 * 8 * 256 + 10
+    h1 = (rng.standard_normal((1, taps)) *
+          np.exp(-np.arange(taps) / 3000.0)) * 0.05
+    p = save_impulse(tmp_path, "mono_nu.wav", h1)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="nonuniform")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 40 * 256))
+    y = sp.process(x)
+    assert sp._impl == "nonuniform"
+    assert sp._coeffs.head.shape[1] == 2 and sp._coeffs.tail.shape[1] == 2
+    ref = np.stack([signal.fftconvolve(x[c], h1[0])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr

@@ -378,3 +378,62 @@ def test_fused_roundtrip_convolution_law():
                     for ch in range(c)])
     np.testing.assert_allclose(np.asarray(out), ref,
                                atol=1e-4 * np.abs(ref).max())
+
+
+# -- shared-coefficient MAC (one filter for all channels) -------------------
+
+
+def test_mac_shared_coeffs_match_broadcast():
+    """coeff [P, 2, Hp] (shared) == coeff [P, 2C, Hp] (broadcast) through
+    every MAC formulation: reference, untiled kernel, tiled kernel."""
+    rng = np.random.default_rng(95)
+    p, c, hp = 4, 6, 256
+    ring = jnp.asarray(rng.standard_normal((p, 2 * c, hp)).astype(np.float32))
+    co1 = rng.standard_normal((p, 2, hp)).astype(np.float32)
+    cob = np.concatenate([np.repeat(co1[:, :1], c, axis=1),
+                          np.repeat(co1[:, 1:], c, axis=1)], axis=1)
+    pos = jnp.asarray(2, jnp.int32)
+    r_ref = K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                               jnp.asarray(cob[:, :c]), jnp.asarray(cob[:, c:]),
+                               pos)
+    r_sh = K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                              jnp.asarray(co1[:, :1]), jnp.asarray(co1[:, 1:]),
+                              pos)
+    np.testing.assert_allclose(np.asarray(r_sh[0]), np.asarray(r_ref[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_sh[1]), np.asarray(r_ref[1]),
+                               atol=1e-5)
+    k_b = K.mac_pallas_hc(ring, jnp.asarray(cob), pos, interpret=True)
+    k_s = K.mac_pallas_hc(ring, jnp.asarray(co1), pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(k_s[0]), np.asarray(k_b[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_s[1]), np.asarray(k_b[1]), atol=1e-5)
+    t_b = K.mac_pallas_hc_tiled(ring, jnp.asarray(cob), pos, tile=128,
+                                interpret=True)
+    t_s = K.mac_pallas_hc_tiled(ring, jnp.asarray(co1), pos, tile=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(t_s[0]), np.asarray(t_b[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_s[1]), np.asarray(t_b[1]), atol=1e-5)
+
+
+def test_step_hc_with_shared_coeffs():
+    """step_hc streams correctly with shared coefficient planes."""
+    from scipy import signal
+
+    rng = np.random.default_rng(96)
+    spec = FilterSpec(block_length=64, n_partitions=4, dtype="float32")
+    c = 3
+    h1 = rng.standard_normal((1, spec.max_taps)).astype(np.float32) * 0.1
+    co = K.hc_coeffs(h1, spec, c, shared=True)
+    assert co.shape[1] == 2  # one plane pair, not 2C
+    st = K.init_hc_state(spec, c)
+    x = rng.standard_normal((c, 64 * 8)).astype(np.float32)
+    outs = []
+    for b in range(8):
+        st, o = K.step_hc(st, co, x[:, b * 64:(b + 1) * 64], use_pallas=False)
+        outs.append(np.asarray(o))
+    y = np.concatenate(outs, axis=1)
+    ref = np.stack([signal.fftconvolve(x[ch].astype(np.float64),
+                                       h1[0].astype(np.float64))[:y.shape[1]]
+                    for ch in range(c)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
