@@ -277,7 +277,46 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
         f"(differential {k1}/{k2} scan, 2 rounds x "
         f"{max(4, n_iters // 3)} draws) -> {sps/1e6:.0f} M samples/s "
         "device-side")
-    return sps, floor, s
+
+    # SHARED-filter workload (one filter for all channels — EQ-only chains):
+    # coefficient planes collapse to [P, 2, Hp] and the MAC broadcasts
+    # in-register, cutting coefficient HBM traffic by 1/C (r4; measured
+    # 0.064 ms/block = 1.02 G samples/s at first TPU verification).
+    # Verified absolutely, then the same differential floor protocol.
+    shared_floor = None
+    shared_snr = None
+    try:
+        co_sh = NU.nu_coeffs(hh[:1], spec, CHANNELS, shared=True)
+        st = NU.init_nu_state(spec, CHANNELS)
+        st, out = scan(st, co_sh, blocks)
+        y = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+        ref_sh = signal.fftconvolve(
+            xs.astype(np.float64),
+            np.broadcast_to(hh[:1], hh.shape).astype(np.float64),
+            axes=1)[:, : y.shape[1]]
+        shared_snr = worst_channel_snr(y, ref_sh)
+        log(f"nu SHARED worst-channel SNR vs scipy: {shared_snr:.1f} dB")
+        if shared_snr >= 80:
+            fl = {k1: [], k2: []}
+            st3 = NU.init_nu_state(spec, CHANNELS)
+            for kk in (k1, k2):
+                t0 = time.time()
+                st3, o = scan(st3, co_sh, pools[kk][0])
+                float(jnp.sum(o))
+                log(f"nu-shared compile (K={kk}): {time.time()-t0:.1f}s")
+            for _round in range(2):
+                for kk in (k1, k2):
+                    for i in range(max(4, n_iters // 3)):
+                        t0 = time.time()
+                        st3, o = scan(st3, co_sh, pools[kk][i % 2])
+                        float(jnp.sum(o))
+                        fl[kk].append(time.time() - t0)
+            shared_floor = max((min(fl[k2]) - min(fl[k1])) / (k2 - k1), 1e-9)
+            log(f"nu SHARED device floor: {shared_floor*1e3:.3f} ms/block -> "
+                f"{BLOCK*CHANNELS/shared_floor/1e6:.0f} M samples/s")
+    except Exception as e:
+        log(f"nu shared measurement failed ({type(e).__name__}: {e})")
+    return sps, floor, s, shared_floor, shared_snr
 
 
 def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=8):
@@ -557,9 +596,10 @@ def _run_path(which: str):
         res["backend"] = backend
         print(json.dumps(res))
     elif which == "nustream":
-        sps, floor, s = bench_streaming_nu(h, jnp, jax,
-                                           n_iters=5 if on_cpu else 40)
+        sps, floor, s, sh_floor, sh_snr = bench_streaming_nu(
+            h, jnp, jax, n_iters=5 if on_cpu else 40)
         print(json.dumps({"sps": sps, "floor": floor, "snr": s,
+                          "shared_floor": sh_floor, "shared_snr": sh_snr,
                           "backend": backend}))
     else:
         sps, p50, p99, rt_ms, floor, s = bench_streaming(
@@ -631,6 +671,12 @@ def main():
                          if stream.get("rt_ms") is not None else None),
         "stream_floor_ms": round(floor * 1e3, 4) if floor == floor else None,
         "nu_stream_floor_ms": round(nu_floor * 1e3, 4) if nu_floor == nu_floor else None,
+        "nu_shared_floor_ms": (round(nustream["shared_floor"] * 1e3, 4)
+                               if nustream.get("shared_floor") else None),
+        "nu_shared_sps": (round(BLOCK * CHANNELS / nustream["shared_floor"], 1)
+                          if nustream.get("shared_floor") else None),
+        "nu_shared_snr_db": (round(nustream["shared_snr"], 1)
+                             if nustream.get("shared_snr") is not None else None),
         "nu_stream_sps": round(nustream.get("sps", 0.0) or 0.0, 1),
         "nu_snr_db": round(nustream["snr"], 1) if nustream.get("snr") is not None else None,
         "batch_sps": round(batch_sps, 1),
