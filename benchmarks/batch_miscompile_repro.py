@@ -5,10 +5,14 @@ backend bug itself for future rounds / a fixed backend to re-probe).
 
 The characterized failure (2026-08-18, core/convolver.process_batch
 docstring): ``process_batch`` at B=256/C=64/P=128 (also 256/32, 128/128)
-produces DETERMINISTIC, bit-identical wrong results (~4 dB SNR vs scipy,
-not noise, not NaN) while B<=240 at the same C/P is exact (~130 dB). The
-graph is the block-axis-FFT bulk formulation; shape boundaries are not
-predictable.
+produced DETERMINISTIC, bit-identical wrong results (~4 dB SNR vs scipy).
+RE-PROBED 2026-08-21 (MISCOMPILE_r04.json): the class SHIFTED with a
+backend update — 256/64 and 256/32 are now exact while 128/128/128 is
+wrong (3.8 dB) and NON-deterministic. Conclusion: the failing-shape set is
+a property of the PJRT plugin build and moves with it; a static shape cap
+is necessary but not sufficient, and the runtime guards (bench scipy
+check, session self-check with plugin-version-keyed verdict cache) are
+the real defense.
 
 Run:  python benchmarks/batch_miscompile_repro.py [--quick]
 
