@@ -208,10 +208,32 @@ def check_stream(
         verdict = load_verdict(cache_file, key)
         if verdict is not None:
             if verdict["ok"]:
-                pinfo("Self-check (%s): cached pass, worst-channel SNR "
-                      "%.1f dB.", label, verdict["snr"])
-                return float(verdict["snr"])
-            _refuse(verdict["snr"])
+                # a cached pass still gets a 2-block SPOT check: the axon
+                # miscompile class turned NON-deterministic on a 2026-08-21
+                # plugin build (MISCOMPILE_r04.json), so determinism-premised
+                # caching alone could mask intermittent corruption. Two
+                # dispatches (~100 ms) vs the full (D+2)*R-block stream.
+                rng = np.random.default_rng(0x5B07)
+                n = spec.block_length
+                x = rng.standard_normal((n_channels, 2 * n)).astype(spec.dtype)
+                st = init_state()
+                outs = []
+                for b in range(2):
+                    st, out = step_call(st, coeffs, x[:, b * n:(b + 1) * n])
+                    outs.append(np.asarray(out))
+                y = np.concatenate(outs, axis=1).astype(np.float64)
+                spot = _worst_snr_db(y, _oracle(x, impulse))
+                if not np.isfinite(spot) or spot < min_snr_db:
+                    pinfo("Self-check (%s): cached pass CONTRADICTED by the "
+                          "spot check (%.1f dB) — rerunning the full check.",
+                          label, spot)
+                else:
+                    pinfo("Self-check (%s): cached pass, worst-channel SNR "
+                          "%.1f dB (spot check %.1f dB).", label,
+                          verdict["snr"], spot)
+                    return float(verdict["snr"])
+            else:
+                _refuse(verdict["snr"])
     rng = np.random.default_rng(0xB51C)
     n = spec.block_length
     x = rng.standard_normal((n_channels, n_blocks * n)).astype(spec.dtype)

@@ -202,3 +202,45 @@ def test_selfcheck_failure_verdict_expires(tmp_path):
         json.dump(data, f)
     assert selfcheck.load_verdict(cf, "kfail") is None  # failure expired
     assert selfcheck.load_verdict(cf, "kpass")["ok"] is True  # pass kept
+
+
+def test_selfcheck_cached_pass_spot_checked(tmp_path, monkeypatch):
+    """A cached PASS verdict no longer short-circuits blindly: a 2-block
+    spot check runs against the oracle (the miscompile class turned
+    non-deterministic on a 2026-08-21 plugin build — MISCOMPILE_r04.json),
+    and a contradicted cache triggers the full re-check."""
+    import jax.numpy as jnp
+
+    from bfir_tpu.core.spec import FilterSpec
+    from bfir_tpu.engine import selfcheck
+
+    spec = FilterSpec(block_length=64, n_partitions=2, dtype="float32")
+    c = 2
+    h = np.zeros((c, spec.max_taps), np.float32)
+    h[:, 0] = 1.0  # dirac
+
+    def good_step(st, co, blk):
+        return st, jnp.asarray(blk)
+
+    calls = {"n": 0}
+
+    def bad_step(st, co, blk):  # intermittent corruption class
+        calls["n"] += 1
+        return st, jnp.asarray(blk) + 0.05
+
+    init = lambda: None
+    cf = str(tmp_path / "v.json")
+    # first run populates the cache
+    s1 = selfcheck.check_stream(good_step, init, None, h, spec, c,
+                                cache_file=cf, label="x")
+    assert s1 > 100
+    # second run with a still-good graph: cached pass + passing spot check
+    s2 = selfcheck.check_stream(good_step, init, None, h, spec, c,
+                                cache_file=cf, label="x")
+    assert s2 == s1
+    # now the compiled graph goes bad while the cache says ok: the spot
+    # check contradicts it and the full check refuses the engine
+    with pytest.raises(selfcheck.EngineSelfCheckError):
+        selfcheck.check_stream(bad_step, init, None, h, spec, c,
+                               cache_file=cf, label="x")
+    assert calls["n"] >= 2  # spot check + full check both streamed
