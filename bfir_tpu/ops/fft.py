@@ -164,8 +164,21 @@ def _twiddle(m: int, n1: int, dtype: str, inverse: bool):
 
 
 def _cmatmul(ar, ai, br, bi):
-    """Complex matmul on split real/imag operands (3 real matmuls via
-    Karatsuba-style is possible; 4 is simpler and MXU-bound either way)."""
+    """Complex matmul on split real/imag operands.
+
+    With ``_KARATSUBA`` (default): 3 real matmuls — t3 = (ar+ai)(br+bi),
+    rr = t1 - t2, ri = t3 - t1 - t2. The weight-side sum (br+bi) is a
+    graph constant (folded at compile), so the cost is one activation add
+    for one fewer MXU contraction. TPU-measured at the non-uniform tail
+    shape [64, 16384] (2026-08-21): fwd 120 vs 145 us, inv 77 vs 106 —
+    the same trade the r4f streaming path already ships
+    (``_cfft_fourstep_r4f``/``_bmatmul``), same ~1 dB-class rounding cost,
+    engine SNR re-verified on hardware."""
+    if _KARATSUBA:
+        t1 = jnp.matmul(ar, br, precision=_MATMUL_PRECISION)
+        t2 = jnp.matmul(ai, bi, precision=_MATMUL_PRECISION)
+        t3 = jnp.matmul(ar + ai, br + bi, precision=_MATMUL_PRECISION)
+        return t1 - t2, t3 - t1 - t2
     rr = jnp.matmul(ar, br, precision=_MATMUL_PRECISION) - jnp.matmul(
         ai, bi, precision=_MATMUL_PRECISION)
     ri = jnp.matmul(ar, bi, precision=_MATMUL_PRECISION) + jnp.matmul(
@@ -315,12 +328,13 @@ def _r4_folded_weights(m: int, dtype: str, inverse: bool):
     return out_r, out_i
 
 
-# 3-matmul (Karatsuba) complex multiply for the r4f stage-1: 25% fewer MXU
-# FLOPs than the 4-matmul form at the cost of two extra elementwise adds.
-# TPU-measured 2026-08-21 (with the folded-twiddle r4f formulation):
-# rfft[64,2048] 14.8 us vs 18.0 (current r4) and [2048,2048] 225.8 vs
-# 255.7, at an engine-level cost of 1.2 dB worst-channel SNR (133.3 vs
-# 134.5 dB through the full hc streaming step vs scipy) — wired on.
+# 3-matmul (Karatsuba) complex multiply: 25% fewer MXU FLOPs than the
+# 4-matmul form at the cost of two extra elementwise adds. Governs BOTH
+# the r4f stage-1 (_bmatmul) and, since r4, the balanced four-step's
+# stages (_cmatmul — the non-uniform tail's transforms). TPU-measured
+# 2026-08-21: rfft[64,2048] 14.8 us vs 18.0 and [2048,2048] 225.8 vs
+# 255.7 (r4f); balanced [64,16384] fwd 120 vs 145, inv 77 vs 106. Engine
+# cost ~1 dB worst-channel SNR class, re-verified on hardware — wired on.
 _KARATSUBA = True
 
 
