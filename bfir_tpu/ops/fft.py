@@ -446,7 +446,14 @@ def _lmatmul(w, x):
 
 
 def _clmatmul(wr, wi, xr, xi):
-    """Complex left-matmul on split planes: (wr + i wi) @ (xr + i xi)."""
+    """Complex left-matmul on split planes: (wr + i wi) @ (xr + i xi).
+    Karatsuba 3-matmul form under ``_KARATSUBA`` (weight-side sum wr+wi is
+    a graph constant) — see ``_cmatmul``."""
+    if _KARATSUBA:
+        t1 = _lmatmul(wr, xr)
+        t2 = _lmatmul(wi, xi)
+        t3 = _lmatmul(wr + wi, xr + xi)
+        return t1 - t2, t3 - t1 - t2
     rr = _lmatmul(wr, xr) - _lmatmul(wi, xi)
     ri = _lmatmul(wr, xi) + _lmatmul(wi, xr)
     return rr, ri
