@@ -632,3 +632,46 @@ def test_collective_bytes_match_comm_model_nu(devices):
     assert got["all-gather"] == []
     assert sorted(got["collective-permute"]) == sorted([head, tail]), got
     assert sorted(got["all-reduce"]) == sorted([head, tail]), got
+
+
+def test_per_device_bytes_scale_with_partition_shards(devices):
+    """Compiler-level scaling evidence (beyond the byte-counted collectives):
+    the compiled sharded step's per-device 'bytes accessed' follows
+    A + B/p — a constant replicated part (transforms, block IO, output)
+    plus the partition-sharded MAC traffic B that shrinks linearly with the
+    mesh "p" axis. Fit A, B from p=2 and p=8 and PREDICT p=4; assert the
+    prediction and that B matches the analytic ring+coeff traffic. This is
+    the engine's scaling premise (the step is HBM-traffic-bound) checked on
+    the compiled artifact itself."""
+    import jax.numpy as jnp
+
+    c, n, p_total = 8, 128, 32
+    spec = FilterSpec(block_length=n, n_partitions=p_total, dtype="float32")
+    meas = {}
+    for p_shards in (2, 4, 8):
+        mesh = M.make_mesh(channel_shards=1, partition_shards=p_shards,
+                           devices=jax.devices()[:p_shards])
+        eng = ShardedEngine(spec, c, mesh, local_impl="hc")
+        st = jax.eval_shape(eng._init)
+        st = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            st, eng._state_shardings)
+        co = jax.ShapeDtypeStruct((p_total, 2, c, eng._hp), jnp.float32,
+                                  sharding=eng._coeff_sharding)
+        blk = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                   sharding=eng._block_sharding)
+        ca = eng._step.lower(st, co, blk).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        meas[p_shards] = float(ca["bytes accessed"])
+    # fit A + B/p from p=2, p=8
+    b = (meas[2] - meas[8]) / (1 / 2 - 1 / 8)
+    a = meas[8] - b / 8
+    assert b > 0, meas
+    pred4 = a + b / 4
+    assert abs(pred4 - meas[4]) < 0.05 * meas[4], (meas, pred4)
+    # B tracks the partition-sharded state: a small multiple of the
+    # ring+coeff bytes (the compiler sums per-op accesses, so the ring is
+    # counted once per pass it appears in — update-slice in/out, MAC
+    # custom-call operand, state threading; measured multiple ≈ 8)
+    analytic = 2 * p_total * 2 * c * eng._hp * 4
+    assert analytic < b < 16 * analytic, (b, analytic)
