@@ -38,23 +38,44 @@ class ConfigStore:
         self._config = config or EngineConfig()
         self._metadata = ["", "", ""]
         self._on_change = on_change
+        self._listeners = []  # extra callbacks (e.g. audio-server sessions)
 
     @property
     def config(self) -> EngineConfig:
         with self._lock:
             return self._config
 
+    def add_listener(self, cb: Callable[[EngineConfig], None]) -> None:
+        """Register an additional change callback (cli.audio_server wires
+        one per streaming session so live control changes crossfade into
+        every running stream)."""
+        with self._lock:
+            self._listeners.append(cb)
+
+    def remove_listener(self, cb) -> None:
+        with self._lock:
+            if cb in self._listeners:
+                self._listeners.remove(cb)
+
     def _mutate(self, fn):
         """Apply ``fn(config) -> new_config`` atomically: the read, the
         modification, and the swap all happen under the lock so concurrent
         mutators cannot lose each other's updates (the reference has exactly
-        this race on its cfg_* globals — SURVEY.md §5). The change callback
-        fires outside the lock."""
+        this race on its cfg_* globals — SURVEY.md §5). The change callbacks
+        fire outside the lock."""
         with self._lock:
             self._config = fn(self._config)
             cfg = self._config
+            listeners = list(self._listeners)
         if self._on_change:
             self._on_change(cfg)
+        for cb in listeners:
+            try:
+                cb(cfg)
+            except Exception as e:  # a dead session must not break control
+                from bfir_tpu.utils.logging import pinfo
+
+                pinfo("Config listener failed (%s).", e)
 
     # -- EQ -----------------------------------------------------------------
 

@@ -9,7 +9,8 @@ import pytest
 from bfir_tpu.cli.protocol import CommandHandler, dir_listing, parse_line
 from bfir_tpu.cli.server import ControlServer
 from bfir_tpu.cli.store import ConfigStore
-from bfir_tpu.core.spec import EngineConfig, FilterSpec
+from bfir_tpu.core.spec import (ChainSpec, EngineConfig, FilterSpec,
+                                ImpulseFileSpec, SampleFormat, StreamSpec)
 from bfir_tpu.io import wavio
 
 
@@ -156,5 +157,151 @@ def test_server_crlf_clients(store, tmp_path):
                     break
                 buf += chunk
             assert buf.split(b"\r")[:2] == [b"OK", b"40"]
+    finally:
+        srv.stop()
+
+
+def _cfg_with_impulse(path, block=256):
+    files = [ImpulseFileSpec(enabled=True, filename=path),
+             ImpulseFileSpec(), ImpulseFileSpec()]
+    return EngineConfig(
+        filter=FilterSpec(block_length=block, n_partitions=1, dtype="float64"),
+        stream=StreamSpec(n_channels=2, sample_rate=44100),
+        chain=ChainSpec(files=tuple(files)),
+    )
+
+
+# -- audio streaming server (cli/audio_server.py) ---------------------------
+
+
+def _audio_client(port, channels, rate, frames_iter, in_format="float_le",
+                  out_format="float_le"):
+    """Minimal wire-protocol client: returns (header, concatenated bytes)."""
+    import json
+    import socket
+    import struct
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    s.sendall((json.dumps({"channels": channels, "sample_rate": rate,
+                           "in_format": in_format,
+                           "out_format": out_format}) + "\n").encode())
+    f = s.makefile("rb")
+    hdr = json.loads(f.readline().decode())
+    chunks = []
+    if hdr.get("ok"):
+        for raw in frames_iter:
+            s.sendall(struct.pack("<I", len(raw)) + raw)
+            (n,) = struct.unpack("<I", f.read(4))
+            chunks.append(f.read(n))
+        s.sendall(struct.pack("<I", 0))  # flush/end
+        (n,) = struct.unpack("<I", f.read(4))
+        chunks.append(f.read(n))
+    s.close()
+    return hdr, b"".join(chunks)
+
+
+def test_audio_server_streams_filtered_pcm(tmp_path):
+    """End-to-end socket audio path: PCM frames in, filtered PCM out, same
+    numerics as the in-process session (process_raw path)."""
+    import dataclasses
+
+    import numpy as np
+    from scipy import signal
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.io import wavio
+    from bfir_tpu.ops import formats as fmops
+
+    rng = np.random.default_rng(70)
+    h = rng.standard_normal((2, 700)) * 0.1
+    p = str(tmp_path / "ir.wav")
+    wavio.write(p, h.T, 44100, subtype="float64")
+    cfg = _cfg_with_impulse(p, block=256)
+    srv = AudioServer(cfg, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        x = rng.standard_normal((2, 256 * 6 + 100))
+        # stream in 3 unaligned chunks (the server re-blocks)
+        cuts = [0, 700, 1100, x.shape[1]]
+        frames = [fmops.encode_float(x[:, a:b], SampleFormat.FLOAT_LE)
+                  for a, b in zip(cuts, cuts[1:])]
+        hdr, out = _audio_client(srv.port, 2, 44100, frames)
+        assert hdr["ok"] and hdr["block_length"] == 256
+        y = fmops.decode(out, SampleFormat.FLOAT_LE, 2)
+        assert y.shape == (2, 256 * 6)  # all complete blocks, flush drops rest
+        ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]]
+                        for c in range(2)])
+        err = np.abs(y - ref).max()
+        assert err < 1e-5, err
+    finally:
+        srv.stop()
+
+
+def test_audio_server_live_control_reconfigure(tmp_path):
+    """A control-plane EQ change crossfades into a RUNNING audio stream
+    (shared ConfigStore; no reconnect, no dropout)."""
+    import dataclasses
+    import json
+    import socket
+    import struct
+
+    import numpy as np
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.cli.store import ConfigStore
+    from bfir_tpu.io import wavio
+    from bfir_tpu.ops import formats as fmops
+
+    h = np.zeros((2, 16))
+    h[:, 0] = 1.0  # dirac chain
+    p = str(tmp_path / "d.wav")
+    wavio.write(p, h.T, 44100, subtype="float64")
+    cfg = _cfg_with_impulse(p, block=256)
+    store = ConfigStore(cfg)
+    srv = AudioServer(cfg, host="127.0.0.1", port=0, store=store)
+    srv.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall((json.dumps({"channels": 2, "sample_rate": 44100}) + "\n")
+                  .encode())
+        f = s.makefile("rb")
+        hdr = json.loads(f.readline().decode())
+        assert hdr["ok"]
+
+        def push(block):
+            raw = fmops.encode_float(block, SampleFormat.FLOAT_LE)
+            s.sendall(struct.pack("<I", len(raw)) + raw)
+            (n,) = struct.unpack("<I", f.read(4))
+            return fmops.decode(f.read(n), SampleFormat.FLOAT_LE, 2)
+
+        x = np.ones((2, 256)) * 0.25
+        y1 = push(x)
+        np.testing.assert_allclose(y1, x, atol=1e-6)  # dirac passthrough
+        # live change through the CONTROL surface: +6 dB file level
+        store.set_file_level(1, 60)  # 1-based slots (F1FN et al.)
+        y2 = push(x)  # crossfade block: ramps 1.0 -> 2.0 gain
+        y3 = push(x)  # settled at the new gain
+        assert y2[0, 0] < y2[0, -1], "crossfade must ramp within the block"
+        np.testing.assert_allclose(y3, x * (10 ** (6 / 20)), rtol=1e-4)
+        s.close()
+    finally:
+        srv.stop()
+
+
+def test_audio_server_rejects_bad_header(tmp_path):
+    import json
+    import socket
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.core.spec import EngineConfig
+
+    srv = AudioServer(EngineConfig(), host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(b"not json\n")
+        hdr = json.loads(s.makefile("rb").readline().decode())
+        assert hdr["ok"] is False and "error" in hdr
+        s.close()
     finally:
         srv.stop()
