@@ -34,5 +34,6 @@ from bfir_tpu.core.spec import (  # noqa: F401
     EqSpec,
     ImpulseFileSpec,
     ChainSpec,
+    DelaySpec,
     EngineConfig,
 )

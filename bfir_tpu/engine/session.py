@@ -185,6 +185,15 @@ class StreamProcessor:
             self._pending_swap = None
             return
         if self._impl == "sharded":
+            if self._sharded.shared_coeffs != (
+                    self._sharded.local_impl in ("hc", "nonuniform")
+                    and self._impulse_shared(built.impulse)):
+                # coefficient sharding (shared vs per-channel planes) is
+                # baked into the shard_map specs: a sharedness change needs
+                # a rebuild
+                self._channels = 0
+                self._pending_swap = None
+                return
             new_coeffs = self._sharded.prepare_coeffs(built.impulse, scale=built.scale)
         elif self._impl == "packed":
             from bfir_tpu.kernels import spectrum_mac as K
@@ -468,15 +477,18 @@ class StreamProcessor:
                         mesh.devices.flat[0].platform != "cpu"
                         and self.n_partitions >= 32):
                     local = "nonuniform"
+            shared = self._impulse_shared(built.impulse)
             try:
                 self._sharded = ShardedEngine(
                     fspec, n_channels, mesh, local_impl=local,
-                    nu_tail_store=self.config.nu_tail_store)
+                    nu_tail_store=self.config.nu_tail_store,
+                    shared_coeffs=shared)
             except ValueError:
                 if local != "nonuniform":
                     raise
                 # geometry unsuitable for the two-stage split: uniform engine
-                self._sharded = ShardedEngine(fspec, n_channels, mesh)
+                self._sharded = ShardedEngine(fspec, n_channels, mesh,
+                                              shared_coeffs=shared)
             self._nuspec = (self._sharded.nuspec
                             if self._sharded.local_impl == "nonuniform" else None)
             self._coeffs = self._sharded.prepare_coeffs(built.impulse,

@@ -174,7 +174,7 @@ def _hc_chunk_reorder(coeff, p_shards: int):
 
 def make_ppermute_step_hc(mesh: Mesh, spec: FilterSpec, n_channels: int,
                           interpret: bool = False, use_pallas: bool = True,
-                          crossfade: bool = False):
+                          crossfade: bool = False, shared: bool = False):
     """The ppermute ring schedule with the OPTIMIZED single-chip hc engine
     as the shard-local compute (VERDICT r2 weak #7: pod-scale and
     single-chip must run the same kernels).
@@ -197,16 +197,23 @@ def make_ppermute_step_hc(mesh: Mesh, spec: FilterSpec, n_channels: int,
 
     n = spec.block_length
     np_shards = mesh.shape["p"]
+    from jax.sharding import PartitionSpec as _P
+
+    # shared coefficient planes ([P, 2, 1, Hp]) carry no channel axis:
+    # replicated over "c", still sharded over "p"
+    Pco = (_P("p", None, None, None) if shared
+           else _P("p", None, "c", None))
 
     def local_mac(ring_l, coeff_l):
         pl_, two, c_l, hp = ring_l.shape
+        cs = coeff_l.shape[2]  # 1 when the filter is SHARED across channels
         ring2 = ring_l.reshape(pl_, 2 * c_l, hp)
-        coeff2 = coeff_l.reshape(pl_, 2 * c_l, hp)
+        coeff2 = coeff_l.reshape(pl_, 2 * cs, hp)
         pos0 = jnp.zeros((), jnp.int32)
         if use_pallas:
             return K.mac_pallas_hc(ring2, coeff2, pos0, interpret=interpret)
         return K.mac_reference_hc(ring2[:, :c_l], ring2[:, c_l:],
-                                  coeff2[:, :c_l], coeff2[:, c_l:], pos0)
+                                  coeff2[:, :cs], coeff2[:, cs:], pos0)
 
     def advance(ring_l, prev_l, block_l):
         hp = ring_l.shape[-1]
@@ -230,7 +237,7 @@ def make_ppermute_step_hc(mesh: Mesh, spec: FilterSpec, n_channels: int,
             shard_map,
             mesh=mesh,
             in_specs=(P("p", None, "c", None), P("c", None), P(),
-                      P("p", None, "c", None), P("c", None)),
+                      Pco, P("c", None)),
             out_specs=(P("p", None, "c", None), P("c", None), P(), P("c", None)),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
@@ -256,9 +263,10 @@ def make_ppermute_step_hc(mesh: Mesh, spec: FilterSpec, n_channels: int,
         shard_map,
         mesh=mesh,
         in_specs=(P("p", None, "c", None), P("c", None), P(),
-                  P("p", None, "c", None), P("p", None, "c", None),
+                  Pco, Pco,
                   P("c", None)),
-        out_specs=(P("p", None, "c", None), P("c", None), P(), P("c", None)),        check_vma=False,
+        out_specs=(P("p", None, "c", None), P("c", None), P(), P("c", None)),
+        check_vma=False,
     )
     def body_xf(ring_l, prev_l, counter, co_old, co_new, block_l):
         block_l = block_l.astype(prev_l.dtype)
@@ -354,10 +362,13 @@ def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,
         """Shard-local rolled MAC (chunk-reordered coeffs, pos=0): the exact
         single-chip kernels — ``mac_pallas_hc`` for the head,
         ``mac_pallas_hc_tiled`` for the tail's large planes (VMEM bound).
-        bf16-stored tail planes accumulate in f32, as single-chip."""
+        bf16-stored tail planes accumulate in f32, as single-chip. SHARED
+        coefficient planes ([P, 2, 1, Hp]) broadcast across channels
+        in-kernel, exactly as single-chip."""
         pl_, two, c_l, hp = ring_l.shape
+        cs = coeff_l.shape[2]
         ring2 = ring_l.reshape(pl_, 2 * c_l, hp)
-        coeff2 = coeff_l.reshape(pl_, 2 * c_l, hp)
+        coeff2 = coeff_l.reshape(pl_, 2 * cs, hp)
         pos0 = jnp.zeros((), jnp.int32)
         if use_pallas:
             if tiled:
@@ -369,7 +380,7 @@ def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,
             ring2 = ring2.astype(jnp.float32)
             coeff2 = coeff2.astype(jnp.float32)
         return K.mac_reference_hc(ring2[:, :c_l], ring2[:, c_l:],
-                                  coeff2[:, :c_l], coeff2[:, c_l:], pos0)
+                                  coeff2[:, :cs], coeff2[:, cs:], pos0)
 
     def head_block(ring_l, prev_l, block_l, coeff_l):
         """Head stage: advance + MAC + one stacked psum + direct tail
@@ -393,7 +404,8 @@ def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,
 
 
 def make_ppermute_step_nu(mesh: Mesh, nuspec, n_channels: int,
-                          interpret: bool = False, use_pallas: bool = True):
+                          interpret: bool = False, use_pallas: bool = True,
+                          shared: bool = False):
     """Per-block sharded two-stage step: state/coeffs are
     ``core.nonuniform.NuState``/``NuCoeffs`` with ROLLED 4-D rings
     [P, 2, C, Hp] (the sharded layout; single-chip uses pointer layout).
@@ -410,12 +422,13 @@ def make_ppermute_step_nu(mesh: Mesh, nuspec, n_channels: int,
         mesh, nuspec, n_channels, interpret, use_pallas)
 
     P4 = P("p", None, "c", None)
+    Pco = P("p", None, None, None) if shared else P4
     Pc = P("c", None)
     Pq = P(None, "c", None)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, P4, P4, Pc),
+        in_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, Pco, Pco, Pc),
         out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, Pc),
         check_vma=False,
     )
@@ -463,7 +476,8 @@ def make_ppermute_step_nu(mesh: Mesh, nuspec, n_channels: int,
 
 
 def make_ppermute_macro_nu(mesh: Mesh, nuspec, n_channels: int,
-                           interpret: bool = False, use_pallas: bool = True):
+                           interpret: bool = False, use_pallas: bool = True,
+                           shared: bool = False):
     """Cond-free M-cycle macro form (sharded ``step_nu_macro``): R unrolled
     head blocks + one unconditional tail fire. The per-block form's untaken
     cond branch passes the tail ring through — a per-block copy of the
@@ -481,12 +495,13 @@ def make_ppermute_macro_nu(mesh: Mesh, nuspec, n_channels: int,
         mesh, nuspec, n_channels, interpret, use_pallas)
 
     P4 = P("p", None, "c", None)
+    Pco = P("p", None, None, None) if shared else P4
     Pc = P("c", None)
     Pq = P(None, "c", None)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P4, Pc, P(), P4, Pc, P(), Pq, P4, P4, P(None, "c", None)),
+        in_specs=(P4, Pc, P(), P4, Pc, P(), Pq, Pco, Pco, P(None, "c", None)),
         out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, P(None, "c", None)),
         check_vma=False,
     )
@@ -522,7 +537,8 @@ def make_ppermute_macro_nu(mesh: Mesh, nuspec, n_channels: int,
 def make_ppermute_step_nu_crossfade(mesh: Mesh, nuspec, n_channels: int,
                                     head_ramp: bool = True,
                                     interpret: bool = False,
-                                    use_pallas: bool = True):
+                                    use_pallas: bool = True,
+                                    shared: bool = False):
     """Sharded form of ``core.nonuniform.step_nu_crossfade``: glitch-free
     live filter change on the sharded two-stage engine. head_ramp=True is
     the change block (two head MACs + intra-block ramp); False the hold
@@ -544,13 +560,14 @@ def make_ppermute_step_nu_crossfade(mesh: Mesh, nuspec, n_channels: int,
         mesh, nuspec, n_channels, interpret, use_pallas)
 
     P4 = P("p", None, "c", None)
+    Pco = P("p", None, None, None) if shared else P4
     Pc = P("c", None)
     Pq = P(None, "c", None)
 
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq,
-                  P4, P4, P4, P4, Pc),
+                  Pco, Pco, Pco, Pco, Pc),
         out_specs=(P4, Pc, P(), P4, Pc, P(), Pc, Pq, Pc),
         check_vma=False,
     )
@@ -635,7 +652,8 @@ class ShardedEngine:
 
     def __init__(self, spec: FilterSpec, n_channels: int, mesh: Mesh,
                  schedule: str = "ppermute", local_impl: Optional[str] = None,
-                 nuspec=None, nu_tail_store: str = "float32"):
+                 nuspec=None, nu_tail_store: str = "float32",
+                 shared_coeffs: bool = False):
         if spec.n_partitions % mesh.shape["p"]:
             raise ValueError(
                 f"n_partitions {spec.n_partitions} not divisible by mesh p={mesh.shape['p']}")
@@ -661,6 +679,11 @@ class ShardedEngine:
         # backend is the TPU
         self._interpret = mesh.devices.flat[0].platform == "cpu"
         self.nuspec = None  # set by the nonuniform branch
+        # shared_coeffs: one filter for all channels — coefficient planes
+        # [P, 2, 1, Hp] replicated over "c" (1/C the coefficient HBM per
+        # chip, like single-chip). hc / nonuniform local engines only.
+        self.shared_coeffs = bool(shared_coeffs) and local_impl in (
+            "hc", "nonuniform")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if local_impl == "nonuniform":
@@ -697,17 +720,19 @@ class ShardedEngine:
                 inbuf=NamedSharding(mesh, P("c", None)),
                 pending=NamedSharding(mesh, P(None, "c", None)),
             )
+            Pco4 = (P("p", None, None, None) if self.shared_coeffs
+                    else P("p", None, "c", None))
             self._coeff_sharding = NU.NuCoeffs(
-                head=NamedSharding(mesh, P("p", None, "c", None)),
-                tail=NamedSharding(mesh, P("p", None, "c", None)),
+                head=NamedSharding(mesh, Pco4),
+                tail=NamedSharding(mesh, Pco4),
             )
             self._block_sharding = NamedSharding(mesh, P("c", None))
             self._step_fn = make_ppermute_step_nu(
                 mesh, nuspec, n_channels, interpret=self._interpret,
-                use_pallas=True)
+                use_pallas=True, shared=self.shared_coeffs)
             self._macro_fn = make_ppermute_macro_nu(
                 mesh, nuspec, n_channels, interpret=self._interpret,
-                use_pallas=True)
+                use_pallas=True, shared=self.shared_coeffs)
             self._macro = None
             self._scan_macro = None
             self._nu_xfade = None
@@ -739,11 +764,13 @@ class ShardedEngine:
                 prev_block=NamedSharding(mesh, P("c", None)),
                 blockcounter=NamedSharding(mesh, P()),
             )
-            self._coeff_sharding = NamedSharding(mesh, P("p", None, "c", None))
+            self._coeff_sharding = NamedSharding(
+                mesh, P("p", None, None, None) if self.shared_coeffs
+                else P("p", None, "c", None))
             self._block_sharding = NamedSharding(mesh, P("c", None))
             self._step_fn = make_ppermute_step_hc(
                 mesh, spec, n_channels, interpret=self._interpret,
-                use_pallas=True)
+                use_pallas=True, shared=self.shared_coeffs)
         else:
             st_sh = M.state_shardings(mesh)
             self._state_shardings = cv.ConvolverState(
@@ -799,10 +826,11 @@ class ShardedEngine:
             from bfir_tpu.core import nonuniform as NU
 
             co = NU.nu_coeffs(impulse, self.nuspec, self.n_channels,
-                              scale=scale, precise=precise)
+                              scale=scale, precise=precise,
+                              shared=self.shared_coeffs)
             p_shards = self.mesh.shape["p"]
 
-            def _reorder(plane):  # [P, 2C, Hp] -> rolled 4-D shard layout
+            def _reorder(plane):  # [P, 2*cs, Hp] -> rolled 4-D shard layout
                 p, c2, hp = plane.shape
                 plane = plane.reshape(p, 2, c2 // 2, hp)
                 return _hc_chunk_reorder(plane, p_shards)
@@ -813,7 +841,8 @@ class ShardedEngine:
             from bfir_tpu.kernels import spectrum_mac as K
 
             co = K.hc_coeffs(impulse, self.spec, self.n_channels, scale=scale,
-                             precise=precise)  # [P, 2C, Hp]
+                             precise=precise,
+                             shared=self.shared_coeffs)  # [P, 2*cs, Hp]
             p, c2, hp = co.shape
             co = co.reshape(p, 2, c2 // 2, hp)
             co = _hc_chunk_reorder(co, self.mesh.shape["p"])
@@ -833,7 +862,8 @@ class ShardedEngine:
             mk = lambda hr: jax.jit(
                 make_ppermute_step_nu_crossfade(
                     self.mesh, self.nuspec, self.n_channels, head_ramp=hr,
-                    interpret=self._interpret, use_pallas=True),
+                    interpret=self._interpret, use_pallas=True,
+                    shared=self.shared_coeffs),
                 in_shardings=(self._state_shardings, self._coeff_sharding,
                               self._coeff_sharding, self._block_sharding),
                 out_shardings=(self._state_shardings, self._block_sharding),
@@ -852,7 +882,8 @@ class ShardedEngine:
             if self.local_impl == "hc":
                 fn = make_ppermute_step_hc(
                     self.mesh, self.spec, self.n_channels,
-                    interpret=self._interpret, use_pallas=True, crossfade=True)
+                    interpret=self._interpret, use_pallas=True, crossfade=True,
+                    shared=self.shared_coeffs)
             elif self.schedule == "ppermute":
                 fn = make_ppermute_crossfade_step(self.mesh, self.spec,
                                                   self.n_channels)

@@ -675,3 +675,39 @@ def test_per_device_bytes_scale_with_partition_shards(devices):
     # custom-call operand, state threading; measured multiple ≈ 8)
     analytic = 2 * p_total * 2 * c * eng._hp * 4
     assert analytic < b < 16 * analytic, (b, analytic)
+
+
+@pytest.mark.parametrize("local", ["hc", "nonuniform"])
+def test_sharded_shared_coeffs_match_broadcast(devices, local):
+    """shared_coeffs=True: [P, 2, 1, Hp] planes replicated over "c",
+    broadcast in-kernel — identical outputs to the per-channel build, 1/C
+    the per-chip coefficient bytes."""
+    rng = np.random.default_rng(55)
+    c, n = 4, 128
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    if local == "hc":
+        spec = FilterSpec(block_length=n, n_partitions=8, dtype="float32")
+        taps = spec.max_taps
+    else:
+        taps = 16 * n + 5 * 8 * n
+        spec = FilterSpec(block_length=n, n_partitions=taps // n,
+                          dtype="float32")
+    h1 = (rng.standard_normal((1, taps)) * 0.05).astype(np.float32)
+    hb = np.broadcast_to(h1, (c, taps)).copy()
+    e_sh = ShardedEngine(spec, c, mesh, local_impl=local, shared_coeffs=True)
+    e_bc = ShardedEngine(spec, c, mesh, local_impl=local)
+    assert e_sh.shared_coeffs and not e_bc.shared_coeffs
+    co_sh = e_sh.prepare_coeffs(h1)
+    co_bc = e_bc.prepare_coeffs(hb)
+    head_sh = co_sh.head if local == "nonuniform" else co_sh
+    assert head_sh.shape[2] == 1  # one channel plane
+    st_s, st_b = e_sh.init_state(), e_bc.init_state()
+    nblocks = (2 * e_sh.nuspec.ratio + 3) if local == "nonuniform" else 6
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st_s, o_s = e_sh.step(st_s, co_sh, blk)
+        st_b, o_b = e_bc.step(st_b, co_bc, blk)
+        scale = max(1.0, float(np.abs(np.asarray(o_b)).max()))
+        np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_b),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
