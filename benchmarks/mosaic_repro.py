@@ -42,7 +42,8 @@ import numpy as np
 
 PROBES = ["lane_concat", "roll", "flip_matmul", "dot_256", "iota_where",
           "reshape_minor", "stack_reshape", "strided_store", "strided_read",
-          "reshape_lane128", "dot3d_128", "dot_1024", "concat_mid"]
+          "reshape_lane128", "dot3d_128", "dot_1024", "concat_mid",
+          "dot3d_mid", "transpose_minor2"]
 
 
 def build(probe: str, interpret: bool):
@@ -172,6 +173,34 @@ def build(probe: str, interpret: bool):
         j = np.zeros((1024, 1024), np.float32)
         j[np.arange(1024), 1023 - np.arange(1024)] = 1.0
         return lambda x: f(jnp.concatenate([x, x], axis=-1), jnp.asarray(j))
+    if probe == "dot3d_mid":
+        # contraction over the MIDDLE axis of a 3-D operand: the balanced
+        # four-step's stage-1 DFT ([r, n1, n2] x [n1, k1] over axis 1)
+        j = np.eye(64, dtype=np.float32)
+
+        def k(x_ref, j_ref, o_ref):
+            x = x_ref[...].reshape(r, h // 128, 128)  # [8, 4, 128]
+            w = j_ref[...][: h // 128, : h // 128]
+            y = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())))
+            # y: [r, 128, h//128] -> flatten via lane concat of last-dim slices
+            o_ref[...] = jnp.concatenate(
+                [y[:, :, i] for i in range(h // 128)], axis=-1)
+        f = pl.pallas_call(
+            k,
+            in_specs=[pl.BlockSpec((r, h), lambda: (0, 0)),
+                      pl.BlockSpec((64, 64), lambda: (0, 0))],
+            out_specs=pl.BlockSpec((r, h), lambda: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((r, h), jnp.float32),
+            interpret=interpret,
+        )
+        return lambda x: f(x, jnp.asarray(j))
+    if probe == "transpose_minor2":
+        # swap of the two minor axes ([r, a, b] -> [r, b, a])
+        def k(x_ref, o_ref):
+            x = x_ref[...].reshape(r, h // 128, 128)
+            y = jnp.swapaxes(x, -1, -2)  # [r, 128, h//128]
+            o_ref[...] = y.reshape(r, h)
+        return call(k)
     if probe == "concat_mid":
         # isolates flip_matmul's third ingredient: concat of middle-axis
         # slices in reversed order

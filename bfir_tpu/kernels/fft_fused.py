@@ -290,3 +290,187 @@ def irfft_hc_tail_fused(hr: jax.Array, hi: jax.Array, n: int, *,
     cim = jnp.stack([outs[1], outs[3], outs[5], outs[7]], axis=-1)
     out = jnp.stack([cre, cim], axis=-1).reshape(rp, h)
     return out[:r].reshape(*batch, h)
+
+
+# ---------------------------------------------------------------------------
+# Fused BALANCED four-step (r4, second wave): the non-uniform TAIL's
+# transform shape (h = 8192: factors n1 = 64, n2 = 128). The crash-set
+# re-probe (benchmarks/mosaic_repro.py dot3d_mid / transpose_minor2) showed
+# Mosaic accepts CONTRACTION OVER THE MIDDLE AXIS of a 3-D operand but not
+# an explicit minor-axis transpose — exactly the split this formulation
+# needs: both DFT stages are middle-axis dot_generals (the data never
+# transposes in-kernel; dot_general's result layout provides the swap), the
+# lane reshape [r, h] -> [r, n1, n2] is 128-lane (probed OK), the twiddle
+# is elementwise, and the final k1-major -> k2-major reorder is hoisted to
+# XLA where it fuses with the untangle/interleave pass that follows anyway.
+# Stage weights are [64, 64] / [128, 128] — VMEM-resident trivially, unlike
+# the r4f form's [n1, n1] = [2048, 2048] monsters at this size.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _balanced_weights(h: int, dtype: str, inverse: bool, tail_only: bool):
+    """(w1r, w1i, w1s_r, w1s_i?, ...) stage weights + twiddle for the
+    balanced split of a length-h complex FFT. Karatsuba needs the weight
+    SUM (wr + wi) too — precomputed so the kernel's third matmul has a
+    resident operand. Inverse folds the 1/h scale into stage 2;
+    ``tail_only`` restricts stage-2 outputs to k2 >= n2/2 (the overlap-save
+    tail half)."""
+    n1 = h // 128  # lane axis carries n2 = 128 (Mosaic lane width)
+    n2 = 128
+    sign = 2.0 if inverse else -2.0
+    j1 = np.arange(n1, dtype=np.float64)
+    k1 = np.arange(n1, dtype=np.float64)
+    w1 = np.exp(sign * 1j * np.pi * np.outer(j1, k1) / n1)  # [j1, k1]
+    j2 = np.arange(n2, dtype=np.float64)
+    tw = np.exp(sign * 1j * np.pi * np.outer(j2, k1) / h)   # [j2, k1]
+    k2 = np.arange(n2 // 2, n2, dtype=np.float64) if tail_only \
+        else np.arange(n2, dtype=np.float64)
+    w2 = np.exp(sign * 1j * np.pi * np.outer(j2, k2) / n2)  # [j2, k2]
+    if inverse:
+        w2 = w2 / h
+    def trip(w, dt):
+        wr = w.real.astype(dt)
+        wi = w.imag.astype(dt)
+        return wr, wi, (wr + wi).astype(dt)
+    return trip(w1, dtype), (tw.real.astype(dtype), tw.imag.astype(dtype)), \
+        trip(w2, dtype)
+
+
+def cfft_balanced_fused(zr: jax.Array, zi: jax.Array, h: int, *,
+                        inverse: bool, tail_only: bool = False,
+                        rows_per_tile: int = 32,
+                        interpret: bool = False):
+    """Length-h complex FFT (split planes) as ONE Pallas kernel: two
+    middle-axis MXU contractions + the twiddle, all VMEM-resident.
+    Returns (re, im) [..., h_out] in NATURAL output order (the k1-major ->
+    k2-major reorder runs in XLA); h_out = h/2 when ``tail_only``."""
+    from jax.experimental import pallas as pl
+
+    n1 = h // 128  # [r, h] -> [r, n1, 128]: the probed-OK lane reshape
+    n2 = 128
+    if h & (h - 1) or n1 % 8:
+        raise ValueError(f"cfft_balanced_fused needs pow2 h with "
+                         f"h/128 % 8 == 0 (got h={h}: {n1}x{n2})")
+    batch = zr.shape[:-1]
+    zr2 = zr.reshape(-1, zr.shape[-1])
+    zi2 = zi.reshape(-1, zi.shape[-1])
+    r = zr2.shape[0]
+    tr = min(rows_per_tile, _round_up(r, 8))
+    rp = _round_up(r, tr)
+    if rp != r:
+        zr2 = jnp.pad(zr2, ((0, rp - r), (0, 0)))
+        zi2 = jnp.pad(zi2, ((0, rp - r), (0, 0)))
+    dt = zr2.dtype.name
+    (w1r, w1i, w1s), (twr, twi), (w2r, w2i, w2s) = _balanced_weights(
+        h, dt, inverse, tail_only)
+    n2k = w2r.shape[1]
+    prec = F._MATMUL_PRECISION
+
+    def cdot_mid(xr, xi, wr_ref, wi_ref, ws_ref):
+        # Karatsuba complex contraction over axis 1 of [tr, a, b] with
+        # [a, k]: t1 - t2, t3 - t1 - t2 (ws = wr + wi resident)
+        dn = (((1,), (0,)), ((), ()))
+        t1 = jax.lax.dot_general(xr, wr_ref[...], dn, precision=prec)
+        t2 = jax.lax.dot_general(xi, wi_ref[...], dn, precision=prec)
+        t3 = jax.lax.dot_general(xr + xi, ws_ref[...], dn, precision=prec)
+        return t1 - t2, t3 - t1 - t2  # [tr, b, k]
+
+    def kernel(zr_ref, zi_ref, w1r_, w1i_, w1s_, twr_, twi_, w2r_, w2i_,
+               w2s_, or_ref, oi_ref):
+        x3r = zr_ref[...].reshape(tr, n1, n2)  # j = j1*n2 + j2
+        x3i = zi_ref[...].reshape(tr, n1, n2)
+        ar, ai = cdot_mid(x3r, x3i, w1r_, w1i_, w1s_)      # [tr, j2, k1]
+        t_r = ar * twr_[...] - ai * twi_[...]
+        t_i = ar * twi_[...] + ai * twr_[...]
+        o_r, o_i = cdot_mid(t_r, t_i, w2r_, w2i_, w2s_)    # [tr, k1, k2]
+        or_ref[...] = o_r
+        oi_ref[...] = o_i
+
+    grid = (rp // tr,)
+    c_spec = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    o_r, o_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, h), lambda i: (i, 0)),
+            pl.BlockSpec((tr, h), lambda i: (i, 0)),
+            c_spec(n1, n1), c_spec(n1, n1), c_spec(n1, n1),
+            c_spec(n2, n1), c_spec(n2, n1),
+            c_spec(n2, n2k), c_spec(n2, n2k), c_spec(n2, n2k),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, n1, n2k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tr, n1, n2k), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, n1, n2k), zr2.dtype),
+            jax.ShapeDtypeStruct((rp, n1, n2k), zr2.dtype),
+        ],
+        interpret=interpret,
+    )(zr2, zi2, jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(w1s),
+      jnp.asarray(twr), jnp.asarray(twi), jnp.asarray(w2r),
+      jnp.asarray(w2i), jnp.asarray(w2s))
+    # XLA reorder: [r, k1, k2] -> natural k = k2*n1 + k1 (fuses with the
+    # caller's untangle/interleave pass)
+    o_r = jnp.swapaxes(o_r, -1, -2).reshape(rp, n2k * n1)
+    o_i = jnp.swapaxes(o_i, -1, -2).reshape(rp, n2k * n1)
+    return (o_r[:r].reshape(*batch, n2k * n1),
+            o_i[:r].reshape(*batch, n2k * n1))
+
+
+def rfft_split_hc_balanced(x: jax.Array, n: int | None = None, *,
+                           rows_per_tile: int = 32,
+                           interpret: bool = False):
+    """ops.fft.rfft_split_hc-equivalent built on the fused balanced core:
+    XLA real-packing deinterleave -> fused complex FFT -> XLA untangle +
+    hc pack (one fused elementwise pass). For the nu tail's M-frame."""
+    m = n or x.shape[-1]
+    h = m // 2
+    batch = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    if x2.shape[-1] != m:
+        x2 = F._pad_last(x2, m)
+    zr = x2[..., 0::2]
+    zi = x2[..., 1::2]
+    zr, zi = cfft_balanced_fused(zr, zi, h, inverse=False,
+                                 rows_per_tile=rows_per_tile,
+                                 interpret=interpret)
+    # untangle + hc pack (mirrors ops.fft.rfft_split's post-pass)
+    zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
+    zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
+    ar = 0.5 * (zr + zr_rev)
+    ai = 0.5 * (zi - zi_rev)
+    br = 0.5 * (zi + zi_rev)
+    bi = -0.5 * (zr - zr_rev)
+    twr, twi = F._half_twiddle(m, x2.dtype.name)
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    xr = ar + twr * br - twi * bi
+    xi = ai + twr * bi + twi * br
+    lane0 = jnp.arange(h)[None, :] == 0
+    ny = zr[..., :1] - zi[..., :1]
+    hi = jnp.where(lane0, ny, xi)
+    return xr.reshape(*batch, h), hi.reshape(*batch, h)
+
+
+def irfft_split_hc_tail_balanced(hr: jax.Array, hi: jax.Array, n: int, *,
+                                 rows_per_tile: int = 32,
+                                 interpret: bool = False) -> jax.Array:
+    """ops.fft.irfft_split_hc(...)[..., n/2:]-equivalent on the fused
+    balanced core, with the tail selection folded into the stage-2 weights
+    (half the stage-2 MXU work): XLA tangle -> fused inverse FFT (tail
+    k2-range) -> XLA re/im interleave. The nu tail fire's inverse."""
+    m = n
+    h = m // 2
+    batch = hr.shape[:-1]
+    hr2 = hr.reshape(-1, hr.shape[-1])[..., :h]
+    hi2 = hi.reshape(-1, hi.shape[-1])[..., :h]
+    r = hr2.shape[0]
+    zr, zi = _tangle_xla(hr2, hi2, m)
+    cr, ci = cfft_balanced_fused(zr, zi, h, inverse=True, tail_only=True,
+                                 rows_per_tile=rows_per_tile,
+                                 interpret=interpret)
+    # c[i], i in [h/2, h): real sample pairs (2i, 2i+1) = (re, im)
+    out = jnp.stack([cr, ci], axis=-1).reshape(r, h)
+    return out[:r].reshape(*batch, h)

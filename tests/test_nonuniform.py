@@ -645,3 +645,19 @@ def test_nu3_crossfade_is_continuous():
     steady = np.abs(np.diff(ys[:, 5 * n:], axis=1)).max()
     trans = np.abs(np.diff(y[:, 5 * n:], axis=1)).max()
     assert trans < 3 * steady, (trans, steady)
+
+
+def test_nu_tail_fused_inverse_path():
+    """A geometry whose tail M-block is eligible for the fused balanced
+    inverse (h = M >= 1024, kernels/fft_fused.py) streams correctly through
+    the wired path (use_pallas=True, interpret mode) vs scipy."""
+    rng = np.random.default_rng(63)
+    spec = NU.NuSpec(block_length=128, ratio=8, p_head=16, p_tail=2)
+    c = 2
+    h = (rng.standard_normal((c, spec.max_taps)) *
+         np.exp(-np.arange(spec.max_taps) / 1500.0)).astype(np.float32) * 0.1
+    x = rng.standard_normal((c, 40 * spec.block_length)).astype(np.float32)
+    _, y = _run_nu(spec, h, x, use_pallas=True, interpret=True)
+    ref = _scipy_ref(h.astype(np.float64), x.astype(np.float64), y.shape[1])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
