@@ -393,12 +393,16 @@ def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,
 
     def tail_fire(ring_l, prev_l, mblock_l, coeff_l):
         """Tail stage fire: advance + tiled MAC + one stacked psum + the
-        four-step inverse (+ slice). Returns (new ring, z [C_l, M])."""
+        tail inverse (the fused balanced kernel where eligible — the same
+        shard-local compute as single-chip, core.nonuniform._tail_inverse).
+        Returns (new ring, z [C_l, M])."""
+        from bfir_tpu.core.nonuniform import _tail_inverse
+
         m = nuspec.m
         ring_l = advance(ring_l, prev_l, mblock_l)
         zr, zi = local_mac(ring_l, coeff_l, tiled=True)
         z = jax.lax.psum(jnp.stack([zr, zi]), "p")
-        return ring_l, F.irfft_split_hc(z[0], z[1], n=2 * m)[..., m:]
+        return ring_l, _tail_inverse(z[0], z[1], m, use_pallas, interpret)
 
     return advance, local_mac, head_block, tail_fire
 
@@ -599,8 +603,10 @@ def make_ppermute_step_nu_crossfade(mesh: Mesh, nuspec, n_channels: int,
             zo = local_mac(t_ring, t_old, tiled=True)
             zn = local_mac(t_ring, t_new, tiled=True)
             z = jax.lax.psum(jnp.stack([zo[0], zo[1], zn[0], zn[1]]), "p")
-            z_old = F.irfft_split_hc(z[0], z[1], n=2 * m)[..., m:]
-            z_new = F.irfft_split_hc(z[2], z[3], n=2 * m)[..., m:]
+            from bfir_tpu.core.nonuniform import _tail_inverse
+
+            z_old = _tail_inverse(z[0], z[1], m, use_pallas, interpret)
+            z_new = _tail_inverse(z[2], z[3], m, use_pallas, interpret)
             ramp_m = jnp.arange(m, dtype=z_old.dtype) / (m - 1)
             zz = z_old * (1.0 - ramp_m) + z_new * ramp_m
             pending = jnp.concatenate([pending[1:], zz[None]], axis=0)
