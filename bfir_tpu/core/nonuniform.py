@@ -238,7 +238,11 @@ def _tail_inverse(yr, yi, m: int, use_pallas: bool, interpret: bool):
     err 1.3e-8 vs float64 numpy) when the kernel path is on and the size
     is eligible; the XLA four-step + slice otherwise."""
     h = m
-    if use_pallas and h % 128 == 0 and (h // 128) % 8 == 0:
+    # eligibility band: h <= 8192 keeps the kernel's ~6 live [tr, h] tiles
+    # inside scoped VMEM at tr=32 (h=65536 — the three-stage FAR block —
+    # measured 67.5 MB vs the 16 MB limit: compile-time OOM; that stage
+    # keeps the XLA form, amortized 1/64 blocks anyway)
+    if use_pallas and h % 128 == 0 and (h // 128) % 8 == 0 and h <= 8192:
         from bfir_tpu.kernels import fft_fused as FF
 
         return FF.irfft_split_hc_tail_balanced(yr, yi, n=2 * m,
