@@ -319,6 +319,81 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
     return sps, floor, s, shared_floor, shared_snr
 
 
+def bench_bulk(h, jnp, jax, n_iters):
+    """Offline/bulk render throughput at the BULK geometry (core/bulk.py):
+    the filter re-partitioned at M=8192 x 16 partitions (vs the streaming
+    128 x 1024) and run through the same batched block-axis-FFT formulation
+    — the render()/render-CLI path. Offline has no latency constraint, so
+    this is the fastest way through the chip for whole-file work; it must
+    meet or beat the streaming floors (VERDICT r4 weak #1). Absolute scipy
+    verification first (fresh state, worst channel), then a scan-of-batches
+    throughput measurement identical in structure to bench_batch."""
+    from bfir_tpu.core import bulk as BK
+    from bfir_tpu.core import convolver as cv
+
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu:
+        g = BK.BulkSpec(1024, 16, 8)
+        scan_batches = 2
+    else:
+        g = BK.bulk_geometry(h.shape[-1])  # M=8192, P=16, B=30 at flagship
+        scan_batches = 8
+    fspec = g.filter_spec
+    hh = h[:, : fspec.max_taps]
+    co = cv.coeffs_to_spectra(hh, fspec)
+    hs = cv.prepare_batch_coeffs(co, g.batch_blocks)
+
+    def steps(st, co_, hs_, many):  # many: [NB, B, C, M]
+        def body(s, blk):
+            return cv.process_batch(s, co_, blk, coeff_batch_fft=hs_)
+        return jax.lax.scan(body, st, many)
+
+    f = jax.jit(steps, donate_argnums=0)
+    m, b = g.block_length, g.batch_blocks
+
+    # correctness vs scipy on a fresh state at the exact dispatch shape
+    from scipy import signal
+
+    rng = np.random.default_rng(12)
+    one = jax.jit(lambda st, co_, hs_, blk: cv.process_batch(
+        st, co_, blk, coeff_batch_fft=hs_))
+    st2 = cv.init_state(fspec, CHANNELS)
+    xs = rng.standard_normal((b, CHANNELS, m)).astype(np.float32)
+    _, o = one(st2, co, hs, jnp.asarray(xs))
+    y = np.asarray(o).transpose(1, 0, 2).reshape(CHANNELS, -1)
+    flat = xs.transpose(1, 0, 2).reshape(CHANNELS, -1)
+    ref = signal.fftconvolve(flat.astype(np.float64), hh.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    s = worst_channel_snr(y, ref)
+    log(f"bulk (M={m}, P={fspec.n_partitions}, B={b}) worst-channel SNR vs "
+        f"scipy: {s:.1f} dB")
+    if s < 80:
+        return 0.0, s
+
+    key = jax.random.PRNGKey(4)
+    make_pool = jax.jit(lambda k: jax.random.normal(
+        k, (scan_batches, b, CHANNELS, m), dtype=jnp.float32))
+    pool = [make_pool(k) for k in jax.random.split(key, 2)]
+    jax.block_until_ready(pool)
+    state = cv.init_state(fspec, CHANNELS)
+    t0 = time.time()
+    state, outs = f(state, co, hs, pool[0])
+    float(jnp.sum(outs))
+    log(f"bulk scan compile: {time.time()-t0:.1f}s")
+    nsamp = scan_batches * b * m
+    times = []
+    for i in range(n_iters):
+        t0 = time.time()
+        state, outs = f(state, co, hs, pool[i % 2])
+        float(jnp.sum(outs))
+        times.append((time.time() - t0) / nsamp)
+    per_samp = float(np.median(times))
+    sps = CHANNELS / per_samp
+    log(f"bulk: {per_samp*BLOCK*1e3:.3f} ms/1024-frames-equiv -> "
+        f"{sps/1e6:.0f} M samples/s")
+    return sps, s
+
+
 def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=8):
     """Bulk-mode throughput: ``scan_batches`` x ``process_batch`` per
     dispatch (lax.scan), amortizing this image's ~30 ms tunnel round-trip
@@ -591,6 +666,9 @@ def _run_path(which: str):
                              batch_blocks=16 if on_cpu else 240,
                              scan_batches=2 if on_cpu else 8)
         print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
+    elif which == "bulk":
+        sps, s = bench_bulk(h, jnp, jax, n_iters=2 if on_cpu else 8)
+        print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
     elif which == "fft":
         res = bench_fft(spec, jnp, jax, n_iters=5 if on_cpu else 30)
         res["backend"] = backend
@@ -628,6 +706,8 @@ def main():
         return {}
 
     batch = sub("batch", 900)      # headline path first
+    # bulk geometry (M=8192): the render()/render-CLI offline path
+    bulk = sub("bulk", 900)
     # stream needs headroom: Mosaic/Pallas kernels have no persistent compile
     # cache (CLAUDE.md), so the kernel + the 64-step scan compile cold every
     # run (observed >900s total on a slow tunnel)
@@ -639,18 +719,23 @@ def main():
     # compile tunnel (observed >600s cold)
     fft = sub("fft", 1500)
 
-    batch_sps = batch.get("sps", 0.0) or 0.0
+    uniform_batch_sps = batch.get("sps", 0.0) or 0.0
+    bulk_sps = bulk.get("sps", 0.0) or 0.0
+    # the bulk/offline figure of merit: best whole-file path (render() picks
+    # the bulk geometry; process_batch remains the uniform-N bulk form)
+    batch_sps = max(uniform_batch_sps, bulk_sps)
     stream_sps = stream.get("sps", 0.0) or 0.0
     p50 = stream.get("p50") or float("nan")
     floor = stream.get("floor") or float("nan")
     nu_floor = nustream.get("floor") or float("nan")
-    snrs = [v for v in (batch.get("snr"), stream.get("snr"),
+    snrs = [v for v in (batch.get("snr"), bulk.get("snr"), stream.get("snr"),
                         nustream.get("snr")) if v is not None]
     backend = batch.get("backend") or stream.get("backend") or "unknown"
 
     nu_sps = nustream.get("sps", 0.0) or 0.0
     value = max(stream_sps, batch_sps, nu_sps)
-    mode = {stream_sps: "streaming", batch_sps: "batch",
+    mode = {stream_sps: "streaming", uniform_batch_sps: "batch",
+            bulk_sps: "bulk-render",
             nu_sps: "nonuniform-streaming"}[value]
     realtime = 44100.0 * CHANNELS
     print(json.dumps({
@@ -680,6 +765,10 @@ def main():
         "nu_stream_sps": round(nustream.get("sps", 0.0) or 0.0, 1),
         "nu_snr_db": round(nustream["snr"], 1) if nustream.get("snr") is not None else None,
         "batch_sps": round(batch_sps, 1),
+        "batch_uniform_sps": round(uniform_batch_sps, 1),
+        "bulk_sps": round(bulk_sps, 1),
+        "bulk_snr_db": (round(bulk["snr"], 1)
+                        if bulk.get("snr") is not None else None),
         "stream_sps": round(stream_sps, 1),
         "snr_db": round(min(snrs), 1) if snrs else None,
         "fft_roofline_frac": round(fft["fft_roofline_frac"], 3) if "fft_roofline_frac" in fft else None,

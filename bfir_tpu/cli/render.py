@@ -158,17 +158,15 @@ def main(argv=None) -> int:
         server = ControlServer(store, port=args.serve)
         server.start()
     x = audio.T  # [C, T]
-    y = sp.process_buffer(x, sample_rate=rate)
+    # offline one-shot: the bulk engine (core/bulk.py, large-block batched
+    # geometry — no latency constraint to pay for); render() falls back to
+    # the streaming scan for configs the bulk path doesn't model (delay
+    # lines, extended precision, sharded) and always returns exactly T
+    # filtered frames
+    y = sp.render(x, sample_rate=rate)
     if not sp._active:
         print("no chain configured; passing through", file=sys.stderr)
-    # flush the partial tail: pad up to a whole block so every input frame
-    # gets a filtered output frame, then trim to the input length
     t = x.shape[1]
-    if sp._active and y.shape[1] < t:
-        n = cfg.filter.block_length
-        pad = np.zeros((x.shape[0], n - (t % n) if t % n else n))
-        tail = sp.process_buffer(pad, sample_rate=rate)
-        y = np.concatenate([y, tail], axis=1)[:, :t]
     out_fmt, subtype = _SUBTYPE_FOR_FORMAT[args.out_format]
     if args.dither and not out_fmt.isfloat:
         # run the real dither/error-feedback output stage; the quantized

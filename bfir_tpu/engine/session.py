@@ -102,6 +102,9 @@ class StreamProcessor:
         self._delay_vecs = ()
         self._delay_dmax = 0
         self._scan = self._wjit(cv.process_blocks, donate_argnums=0)
+        self._bulk = None  # lazy BulkRenderer for render() (core/bulk.py)
+        self._built_impulse = None  # chain impulse the current coeffs use
+        self._built_scale = 1.0
         self.reported_latency = 0  # parity: foo_dsp_bfir.cpp:372-375
         self.n_partitions = 0
         from bfir_tpu.utils.profiling import BlockTimer
@@ -229,6 +232,9 @@ class StreamProcessor:
         else:
             new_coeffs = cv.coeffs_to_spectra(built.impulse, fspec, scale=built.scale)
         self._pending_swap = new_coeffs  # picked up at the next block
+        self._built_impulse = np.atleast_2d(np.asarray(built.impulse))
+        self._built_scale = built.scale
+        self._bulk = None  # render() geometry follows the new coefficients
         if d_new.enabled:  # live delay-value update (state/history kept)
             samples, substeps = d_new.per_channel(self._channels)
             if d_new.fractional:
@@ -403,6 +409,9 @@ class StreamProcessor:
             self._active = False
             return
         self.n_partitions = built.n_partitions
+        self._built_impulse = np.atleast_2d(np.asarray(built.impulse))
+        self._built_scale = built.scale
+        self._bulk = None  # rebuilt lazily at the new geometry
 
         # Candidate implementations, most capable first; a failed known-answer
         # self-check (engine/selfcheck.py) falls through to the next one
@@ -1071,6 +1080,83 @@ class StreamProcessor:
         if self.config.stream.out_format.isfloat:
             self._overflow = fm.count_float_overflow(jax.numpy.asarray(y), self._overflow)
         return y
+
+    def render(self, frames: np.ndarray,
+               sample_rate: Optional[int] = None) -> np.ndarray:
+        """One-shot OFFLINE render of [C, T] -> [C, T] at the bulk geometry.
+
+        Unlike ``process``/``process_buffer`` this does not have (or pay
+        for) the one-block latency constraint: the filter is re-partitioned
+        at a large block size and run through the batched block-axis-FFT
+        formulation (core/bulk.py), which is the fastest way through the
+        chip when the whole input exists up front. Output is the exact same
+        linear convolution the streaming engines produce (to fp rounding).
+        On the bulk path this is stateless with respect to the streaming
+        engine: it neither reads nor advances the streaming state (the
+        reference's offline use streams through the engine instead,
+        preprocessor.cpp:143-148).
+
+        Falls back to ``process_buffer`` (which, like any processing call,
+        advances the streaming engine) for paths the bulk engine does not
+        model: pending crossfades, runtime delay lines, the df64 'extended'
+        precision mode (bulk would silently degrade an honored float64
+        request), and sharded execution.
+        """
+        with self._lock:
+            frames = np.atleast_2d(np.asarray(frames))
+            rate = sample_rate or self._rate or self.config.stream.sample_rate
+            if frames.shape[0] != self._channels or rate != self._rate:
+                self._initialize(frames.shape[0], rate)
+            if not self._active or self._failed:
+                return frames
+            if (self._pending_swap is not None or self._nu_old is not None
+                    or self._nu3_stage is not None
+                    or self._delay_call is not None
+                    or self._impl in ("extended", "sharded")):
+                out = self._process_buffer_locked(frames, sample_rate)
+                # flush the engine's partial-block tail so render() always
+                # returns exactly T filtered frames like the bulk path does
+                t = frames.shape[1]
+                if out.shape[1] < t:
+                    n = self.config.filter.block_length
+                    short = t - out.shape[1]
+                    pad = np.zeros((frames.shape[0], -(-short // n) * n),
+                                   dtype=out.dtype)
+                    tail = self._process_buffer_locked(pad, sample_rate)
+                    out = np.concatenate([out, tail], axis=1)
+                return out[:, :t]
+            if self._bulk is None:
+                from bfir_tpu.core import bulk as BK
+
+                dtype = self._runtime_filter_spec.dtype
+                bulk = BK.BulkRenderer(
+                    self._built_impulse, self._channels,
+                    scale=self._built_scale, dtype=dtype,
+                    jit_wrap=self._wjit)
+                if self.config.self_check:
+                    # same miscompile defense as the streaming engines: one
+                    # known-answer dispatch through the exact jitted graph
+                    # (the axon backend's batched-graph miscompiles are
+                    # shape-dependent and MOVE between plugin builds)
+                    from bfir_tpu.engine import selfcheck
+
+                    scaled = (self._built_impulse.astype(np.float64)
+                              * self._built_scale)
+                    selfcheck.check_batch(
+                        lambda st, co, blocks: bulk._call(
+                            st, co, bulk._hs, blocks),
+                        lambda: cv.init_state(bulk.spec.filter_spec,
+                                              self._channels),
+                        bulk._co, scaled, bulk.spec.filter_spec,
+                        self._channels, bulk.spec.batch_blocks,
+                        label=f"bulk render (M={bulk.spec.block_length}, "
+                              f"P={bulk.spec.n_partitions})")
+                self._bulk = bulk
+            y = self._bulk.render(frames)
+            if self.config.stream.out_format.isfloat and self._overflow is not None:
+                self._overflow = fm.count_float_overflow(
+                    jax.numpy.asarray(y), self._overflow)
+            return y
 
     def process_raw(self, raw: bytes, sample_rate: Optional[int] = None) -> bytes:
         """Full raw-format path: decode input bytes per the configured
