@@ -343,9 +343,11 @@ class EngineConfig:
     # NuSpec.tail_store). Opt-in fast mode; ignored by other engine modes.
     nu_tail_store: str = "float32"
     # shard-local compute of engine_mode="sharded": "auto" picks the
-    # two-stage nonuniform engine for long filters on accelerator meshes
-    # (the pod form of the fastest single-chip engine) and the uniform
-    # engine otherwise; "uniform"/"nonuniform" force the choice
+    # three-stage engine for very long filters (>= 640 partitions, the
+    # single-chip crossover), the two-stage nonuniform engine for long
+    # filters on accelerator meshes (the pod form of the fastest
+    # single-chip engine) and the uniform engine otherwise;
+    # "uniform"/"nonuniform"/"nonuniform3" force the choice
     # (parallel.sharded.ShardedEngine local_impl)
     sharded_local: str = "auto"
 
@@ -358,9 +360,10 @@ class EngineConfig:
         if self.nu_tail_store not in ("float32", "bfloat16"):
             raise ValueError(
                 f"nu_tail_store must be float32 or bfloat16, got {self.nu_tail_store!r}")
-        if self.sharded_local not in ("auto", "uniform", "nonuniform"):
+        if self.sharded_local not in ("auto", "uniform", "nonuniform",
+                                      "nonuniform3"):
             raise ValueError(
-                "sharded_local must be auto/uniform/nonuniform, "
+                "sharded_local must be auto/uniform/nonuniform/nonuniform3, "
                 f"got {self.sharded_local!r}")
 
 

@@ -188,6 +188,13 @@ class StreamProcessor:
             self._pending_swap = None
             return
         if self._impl == "sharded":
+            if self._sharded.local_impl == "nonuniform3":
+                # live crossfade is not implemented on the sharded
+                # three-stage engine: reconfigure = rebuild (mirrors the
+                # single-chip nu3 mid-transition rule; PARITY.md)
+                self._channels = 0
+                self._pending_swap = None
+                return
             if self._sharded.shared_coeffs != (
                     self._sharded.local_impl in ("hc", "nonuniform")
                     and self._impulse_shared(built.impulse)):
@@ -482,9 +489,15 @@ class StreamProcessor:
             want = self.config.sharded_local
             local = None
             if variant != "uniform" and want != "uniform":
-                if want == "nonuniform" or (
-                        mesh.devices.flat[0].platform != "cpu"
-                        and self.n_partitions >= 32):
+                on_accel = mesh.devices.flat[0].platform != "cpu"
+                if want == "nonuniform3" or (
+                        want == "auto" and on_accel
+                        and self.n_partitions >= 640):
+                    # the very-long-filter tier (VERDICT r4 missing #1):
+                    # same crossover as single-chip auto (~600k taps)
+                    local = "nonuniform3"
+                elif want == "nonuniform" or (on_accel
+                                              and self.n_partitions >= 32):
                     local = "nonuniform"
             shared = self._impulse_shared(built.impulse)
             try:
@@ -493,13 +506,27 @@ class StreamProcessor:
                     nu_tail_store=self.config.nu_tail_store,
                     shared_coeffs=shared)
             except ValueError:
-                if local != "nonuniform":
+                if local == "nonuniform3":
+                    # geometry unsuitable for the three-stage split: try the
+                    # two-stage engine, then uniform
+                    try:
+                        self._sharded = ShardedEngine(
+                            fspec, n_channels, mesh, local_impl="nonuniform",
+                            nu_tail_store=self.config.nu_tail_store,
+                            shared_coeffs=shared)
+                    except ValueError:
+                        self._sharded = ShardedEngine(fspec, n_channels, mesh,
+                                                      shared_coeffs=shared)
+                elif local == "nonuniform":
+                    # geometry unsuitable for the two-stage split: uniform
+                    self._sharded = ShardedEngine(fspec, n_channels, mesh,
+                                                  shared_coeffs=shared)
+                else:
                     raise
-                # geometry unsuitable for the two-stage split: uniform engine
-                self._sharded = ShardedEngine(fspec, n_channels, mesh,
-                                              shared_coeffs=shared)
             self._nuspec = (self._sharded.nuspec
-                            if self._sharded.local_impl == "nonuniform" else None)
+                            if self._sharded.local_impl in ("nonuniform",
+                                                            "nonuniform3")
+                            else None)
             self._coeffs = self._sharded.prepare_coeffs(built.impulse,
                                                         scale=built.scale)
             step_call = self._sharded.step
@@ -661,9 +688,11 @@ class StreamProcessor:
             # miscompile cannot hide behind a correct head
             sharded_nu = (impl == "sharded"
                           and self._sharded.local_impl == "nonuniform")
+            sharded_nu3 = (impl == "sharded"
+                           and self._sharded.local_impl == "nonuniform3")
             if impl == "nonuniform" or sharded_nu:
                 n_blocks = (self._nuspec.delay_blocks + 2) * self._nuspec.ratio
-            elif impl == "nonuniform3":
+            elif impl == "nonuniform3" or sharded_nu3:
                 # enough blocks that the FAR stage's first pending output
                 # has landed: inner warm-up in M1-blocks, times r1
                 inner = self._nuspec.inner
@@ -676,13 +705,14 @@ class StreamProcessor:
             # 80 dB gate would silently demote it to 'hc'. A miscompile is
             # still O(1) wrong (~4 dB), so 35 dB keeps the guard honest.
             min_snr = (35.0 if (impl in ("nonuniform", "nonuniform3")
-                                or sharded_nu)
+                                or sharded_nu or sharded_nu3)
                        and self.config.nu_tail_store == "bfloat16"
                        else selfcheck.DEFAULT_MIN_SNR_DB)
             label = f"engine '{impl}'"
             extra = ""
             if self._nuspec is not None and (
-                    impl in ("nonuniform", "nonuniform3") or sharded_nu):
+                    impl in ("nonuniform", "nonuniform3") or sharded_nu
+                    or sharded_nu3):
                 extra = repr(self._nuspec)
             if impl == "sharded":
                 # a miscompile can be mesh-shape- or local-impl-specific:

@@ -589,6 +589,119 @@ def mac_pallas_hc_tiled(ring_pk, coeff_pk, pos, tile: int = 2048,
     return yr, yi
 
 
+@functools.partial(jax.jit, static_argnames=("band_start", "band_len",
+                                             "interpret"))
+def mac_pallas_hc_band(ring_pk, coeff_pk, pos, band_start: int,
+                       band_len: int, interpret: bool = False):
+    """``mac_pallas_hc_tiled`` restricted to ONE frequency band
+    [band_start, band_start + band_len): all partitions, one slice of the
+    spectrum. The split-tail schedule (core.nonuniform.step_nu_split) runs
+    one band per streaming phase so the tail MAC's HBM traffic spreads
+    evenly across the R-block slack instead of spiking at the fire block;
+    each band of the accumulator is written exactly once (no
+    read-modify-write). The band is addressed via the BlockSpec index map —
+    no XLA-level slice copy of the ring. Lane 0 of band 0 is the
+    (DC.re, Ny.re) pair of real products, as in the parent kernels.
+    Returns (yr, yi) [C, band_len]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    cs = coeff_pk.shape[1] // 2  # 1 = shared filter
+    if band_start % 128 or band_len % 128:
+        raise ValueError("band must be 128-lane aligned")
+    if band_start + band_len > hp:
+        raise ValueError(f"band [{band_start}, {band_start+band_len}) "
+                         f"outside Hp={hp}")
+    dt = (jnp.float32 if ring_pk.dtype in (jnp.bfloat16, jnp.float16)
+          else ring_pk.dtype)
+    fb = band_start // band_len if band_start % band_len == 0 else None
+
+    def kernel(pos_ref, r, g, yr, yi):
+        i = pl.program_id(0)
+        rr = r[0, :c, :].astype(dt)
+        ri = r[0, c:, :].astype(dt)
+        cr = g[0, :cs, :].astype(dt)
+        ci = g[0, cs:, :].astype(dt)
+        p1 = cr * rr
+        p2 = ci * ri
+        if band_start == 0:
+            dc = jax.lax.broadcasted_iota(jnp.int32, (c, band_len), 1) == 0
+            a_r = jnp.where(dc, p1, p1 - p2)
+            a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+        else:
+            a_r = p1 - p2
+            a_i = cr * ri + ci * rr
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    # block index = band_start / band_len when aligned; otherwise use a
+    # 128-granular block (band_len must then be a multiple the map hits)
+    if fb is None:
+        raise ValueError("band_start must be a multiple of band_len")
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, fb)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, fb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, c2, band_len), ring_map),
+            pl.BlockSpec((1, 2 * cs, band_len), coeff_map),
+        ],
+        out_specs=[
+            pl.BlockSpec((c, band_len), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((c, band_len), lambda i, pos_ref: (0, 0)),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, band_len), dt),
+            jax.ShapeDtypeStruct((c, band_len), dt),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), ring_pk, coeff_pk)
+    return yr, yi
+
+
+def mac_reference_hc_band(ring_pk, coeff_pk, pos, band_start: int,
+                          band_len: int):
+    """jnp reference of ``mac_pallas_hc_band`` (CPU path / tests)."""
+    p, c2, hp = ring_pk.shape
+    c = c2 // 2
+    cs = coeff_pk.shape[1] // 2
+    ring = ring_pk[..., band_start:band_start + band_len].astype(jnp.float32)
+    coeff = coeff_pk[..., band_start:band_start + band_len].astype(jnp.float32)
+    idx = jnp.mod(pos - jnp.arange(p, dtype=jnp.int32), p)
+    rr = jnp.take(ring[:, :c], idx, axis=0)
+    ri = jnp.take(ring[:, c:], idx, axis=0)
+    cr = coeff[:, :cs]
+    ci = coeff[:, cs:]
+    p1 = cr * rr
+    p2 = ci * ri
+    a_r = p1 - p2
+    a_i = cr * ri + ci * rr
+    if band_start == 0:
+        a_r = a_r.at[..., 0].set(p1[..., 0])
+        a_i = a_i.at[..., 0].set(p2[..., 0])
+    return jnp.sum(a_r, axis=0), jnp.sum(a_i, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def mac_tail_pallas_hc(ring_pk, coeff_pk, wr, wi, pos, interpret: bool = False):
     """Fused halfcomplex ring MAC + overlap-save tail render in ONE kernel.

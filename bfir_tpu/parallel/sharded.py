@@ -638,6 +638,271 @@ def make_ppermute_step_nu_crossfade(mesh: Mesh, nuspec, n_channels: int,
     return step
 
 
+# ---------------------------------------------------------------------------
+# Sharded THREE-stage engine (VERDICT r4 next #3): core.nonuniform's
+# recursive Gardner schedule — the auto pick for very long filters
+# (>= 640 partitions, where its flat ~0.18 ms/block undercuts the two-stage
+# floor) — run over the same ("c", "p") mesh and ring-rotate ICI schedule.
+# Three rolled rings, all sharded over ("p", -, "c", -):
+#
+# - OUTER head: p_head partitions at N — ppermute + psum every block.
+# - INNER head: inner.p_head partitions at M1 = r1*N — its pair every r1
+#   blocks (outer fire, under lax.cond on the replicated outer phase).
+# - FAR stage: inner.p_tail partitions at M2 = r2*M1 — its pair every
+#   r1*r2 blocks (a cond NESTED inside the outer fire on the replicated
+#   inner phase; every device takes the same branches, so collectives
+#   inside both conds lower correctly — asserted in test_parallel.py).
+#
+# Amortized per-N-block communication: (1 + 1/r1 + 1/(r1*r2)) cp+ar pairs
+# of sizes Hp_N / Hp_M1 / Hp_M2 — see COMM_MODEL.md. The far-stage ring
+# sharded over "p" at its M2 cadence is exactly the structure SURVEY §2
+# maps onto partition sharding (brutefir.cpp:279-300).
+# ---------------------------------------------------------------------------
+
+
+def _nu3_pad_far(spec3, p_shards: int):
+    """Pad the far stage's partition count to a multiple of the mesh "p"
+    axis (zero coefficients in the padding — exact output)."""
+    from bfir_tpu.core import nonuniform as NU
+
+    inner = _nu_pad_tail(spec3.inner, p_shards)
+    if inner is spec3.inner:
+        return spec3
+    return NU.Nu3Spec(spec3.block_length, spec3.ratio1, spec3.p_head, inner)
+
+
+def _make_nu3_shard_parts(mesh: Mesh, spec3, n_channels: int,
+                          interpret: bool, use_pallas: bool):
+    """Stage builders for the sharded three-stage engine: the shared
+    advance/local_mac of the two-stage path plus per-stage fire functions
+    (outer head at N: untiled MAC + direct tail basis; inner head at M1 and
+    far at M2: tiled MAC + the size-dispatched tail inverse, exactly the
+    single-chip stage compute of core.nonuniform._step_nu_tiled_head)."""
+    from bfir_tpu.core.nonuniform import _tail_inverse
+    from bfir_tpu.ops import fft as F
+
+    advance, local_mac, head_block, _ = _make_nu_shard_parts(
+        mesh, spec3.inner, n_channels, interpret, use_pallas)
+
+    def outer_head(ring_l, prev_l, block_l, coeff_l):
+        n = spec3.block_length
+        ring_l = advance(ring_l, prev_l, block_l)
+        yr, yi = local_mac(ring_l, coeff_l, tiled=False)
+        y = jax.lax.psum(jnp.stack([yr, yi]), "p")
+        return ring_l, F.irfft_hc_tail(y[0], y[1], n=2 * n)
+
+    def stage_fire(ring_l, prev_l, mblock_l, coeff_l, m: int):
+        """Inner-head (m=M1) or far (m=M2) fire: advance + tiled MAC + one
+        stacked psum + the size-dispatched tail inverse."""
+        ring_l = advance(ring_l, prev_l, mblock_l)
+        zr, zi = local_mac(ring_l, coeff_l, tiled=True)
+        z = jax.lax.psum(jnp.stack([zr, zi]), "p")
+        return ring_l, _tail_inverse(z[0], z[1], m, use_pallas, interpret)
+
+    return advance, local_mac, outer_head, stage_fire
+
+
+def make_ppermute_step_nu3(mesh: Mesh, spec3, n_channels: int,
+                           interpret: bool = False, use_pallas: bool = True,
+                           shared: bool = False):
+    """Per-block sharded three-stage step: state/coeffs are
+    ``core.nonuniform.Nu3State``/``Nu3Coeffs`` with ROLLED 4-D rings.
+    Outputs match ``core.nonuniform.step_nu3`` to fp rounding."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.core import nonuniform as NU
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    n = spec3.block_length
+    r1 = spec3.ratio1
+    inner = spec3.inner
+    m1, r2, m2 = spec3.m1, inner.ratio, inner.m
+    _, _, outer_head, stage_fire = _make_nu3_shard_parts(
+        mesh, spec3, n_channels, interpret, use_pallas)
+
+    P4 = P("p", None, "c", None)
+    Pco = P("p", None, None, None) if shared else P4
+    Pc = P("c", None)
+    Pq = P(None, "c", None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P4, Pc, P(),          # outer head ring/prev/cnt
+                  P4, Pc, P(),          # inner head ring/prev/cnt
+                  P4, Pc, P(),          # far ring/prev/cnt
+                  Pc, Pq,               # inner inbuf [C,M2] / pending [D2,C,M2]
+                  Pc, Pq,               # outer inbuf [C,M1] / pending [D1,C,M1]
+                  Pco, Pco, Pco, Pc),   # head/inner-head/far coeffs + block
+        out_specs=(P4, Pc, P(), P4, Pc, P(), P4, Pc, P(),
+                   Pc, Pq, Pc, Pq, Pc),
+        check_vma=False,
+    )
+    def body(h_ring, h_prev, h_cnt, ih_ring, ih_prev, ih_cnt,
+             f_ring, f_prev, f_cnt, i_inbuf, i_pending, o_inbuf, o_pending,
+             h_co, ih_co, f_co, block_l):
+        block_l = block_l.astype(h_prev.dtype)
+        c_l = block_l.shape[0]
+        r_phase = jnp.mod(h_cnt, r1)
+        h_ring, y_head = outer_head(h_ring, h_prev, block_l, h_co)
+        zero = jnp.zeros((), dtype=r_phase.dtype)
+        o_inbuf = jax.lax.dynamic_update_slice(
+            o_inbuf, block_l.astype(o_inbuf.dtype), (zero, r_phase * n))
+        tail_slice = jax.lax.dynamic_slice(
+            o_pending[0], (zero, r_phase * n), (c_l, n))
+
+        def outer_fire(args):
+            (ih_ring, ih_prev, ih_cnt, f_ring, f_prev, f_cnt,
+             i_inbuf, i_pending, o_pending, o_inbuf) = args
+            # one step of the sharded inner two-stage engine on the
+            # completed M1-block (cf. core.nonuniform._step_nu_tiled_head)
+            i_phase = jnp.mod(ih_cnt, r2)
+            ih_ring, y_inner = stage_fire(ih_ring, ih_prev, o_inbuf, ih_co, m1)
+            izero = jnp.zeros((), dtype=i_phase.dtype)
+            i_inbuf = jax.lax.dynamic_update_slice(
+                i_inbuf, o_inbuf.astype(i_inbuf.dtype), (izero, i_phase * m1))
+            i_slice = jax.lax.dynamic_slice(
+                i_pending[0], (izero, i_phase * m1), (c_l, m1))
+
+            def far_fire(fargs):
+                f_ring, f_prev, i_pending, i_inbuf = fargs
+                f_ring, zf = stage_fire(f_ring, f_prev, i_inbuf, f_co, m2)
+                i_pending = jnp.concatenate([i_pending[1:], zf[None]], axis=0)
+                return f_ring, i_inbuf, i_pending
+
+            def far_hold(fargs):
+                f_ring, f_prev, i_pending, _ = fargs
+                return f_ring, f_prev, i_pending
+
+            f_ring, f_prev, i_pending = jax.lax.cond(
+                i_phase == r2 - 1, far_fire, far_hold,
+                (f_ring, f_prev, i_pending, i_inbuf))
+            f_fired = (i_phase == r2 - 1).astype(f_cnt.dtype)
+            z = y_inner + i_slice
+            o_pending = jnp.concatenate([o_pending[1:], z[None]], axis=0)
+            return (ih_ring, o_inbuf, ih_cnt + 1, f_ring, f_prev,
+                    f_cnt + f_fired, i_inbuf, i_pending, o_pending)
+
+        def outer_hold(args):
+            (ih_ring, ih_prev, ih_cnt, f_ring, f_prev, f_cnt,
+             i_inbuf, i_pending, o_pending, _) = args
+            return (ih_ring, ih_prev, ih_cnt, f_ring, f_prev, f_cnt,
+                    i_inbuf, i_pending, o_pending)
+
+        (ih_ring, ih_prev, ih_cnt, f_ring, f_prev, f_cnt, i_inbuf,
+         i_pending, o_pending) = jax.lax.cond(
+            r_phase == r1 - 1, outer_fire, outer_hold,
+            (ih_ring, ih_prev, ih_cnt, f_ring, f_prev, f_cnt,
+             i_inbuf, i_pending, o_pending, o_inbuf))
+        out = y_head + tail_slice
+        return (h_ring, block_l, h_cnt + 1, ih_ring, ih_prev, ih_cnt,
+                f_ring, f_prev, f_cnt, i_inbuf, i_pending, o_inbuf,
+                o_pending, out)
+
+    def step(state, coeffs, block):
+        (h_ring, h_prev, h_cnt, ih_ring, ih_prev, ih_cnt, f_ring, f_prev,
+         f_cnt, i_inbuf, i_pending, o_inbuf, o_pending, out) = body(
+            state.head.ring, state.head.prev_block, state.head.blockcounter,
+            state.tail.head.ring, state.tail.head.prev_block,
+            state.tail.head.blockcounter,
+            state.tail.tail.ring, state.tail.tail.prev_block,
+            state.tail.tail.blockcounter,
+            state.tail.inbuf, state.tail.pending,
+            state.inbuf, state.pending,
+            coeffs.head, coeffs.tail.head, coeffs.tail.tail, block)
+        return NU.Nu3State(
+            head=K.HcState(h_ring, h_prev, h_cnt),
+            tail=NU.NuState(K.HcState(ih_ring, ih_prev, ih_cnt),
+                            K.HcState(f_ring, f_prev, f_cnt),
+                            i_inbuf, i_pending),
+            inbuf=o_inbuf, pending=o_pending), out
+
+    return step
+
+
+def make_ppermute_macro_nu3(mesh: Mesh, spec3, n_channels: int,
+                            interpret: bool = False, use_pallas: bool = True,
+                            shared: bool = False):
+    """Cond-free SUPER-cycle macro form (sharded
+    ``process_blocks_nu3_fast`` body): r1*r2 unrolled outer-head blocks with
+    every phase static — neither the M1 ring nor the far ring is carried
+    through an untaken ``lax.cond`` branch (whose pass-through would copy
+    the largest state tensors every block under ``lax.scan``). ``state``
+    must be at super-cycle phase 0; same outputs as r1*r2 per-block steps."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from bfir_tpu.core import nonuniform as NU
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    n = spec3.block_length
+    r1 = spec3.ratio1
+    inner = spec3.inner
+    m1, r2, m2 = spec3.m1, inner.ratio, inner.m
+    _, _, outer_head, stage_fire = _make_nu3_shard_parts(
+        mesh, spec3, n_channels, interpret, use_pallas)
+
+    P4 = P("p", None, "c", None)
+    Pco = P("p", None, None, None) if shared else P4
+    Pc = P("c", None)
+    Pq = P(None, "c", None)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P4, Pc, P(), P4, Pc, P(), P4, Pc, P(),
+                  Pq, Pq, Pco, Pco, Pco, P(None, None, "c", None)),
+        out_specs=(P4, Pc, P(), P4, Pc, P(), P4, Pc, P(),
+                   Pc, Pq, Pc, Pq, P(None, "c", None)),
+        check_vma=False,
+    )
+    def body(h_ring, h_prev, h_cnt, ih_ring, ih_prev, ih_cnt,
+             f_ring, f_prev, f_cnt, i_pending, o_pending,
+             h_co, ih_co, f_co, sblocks_l):  # sblocks_l [r2, r1, C_l, N]
+        c_l = sblocks_l.shape[2]
+        outs = []
+        for j in range(r2):      # static inner phase
+            for i in range(r1):  # static outer phase
+                blk = sblocks_l[j, i].astype(h_prev.dtype)
+                h_ring, y = outer_head(h_ring, h_prev, blk, h_co)
+                h_prev = blk
+                outs.append(y + o_pending[0][:, i * n:(i + 1) * n])
+            o_inbuf = jnp.swapaxes(sblocks_l[j], 0, 1).reshape(
+                c_l, r1 * n).astype(h_prev.dtype)
+            ih_ring, y_inner = stage_fire(ih_ring, ih_prev, o_inbuf, ih_co, m1)
+            ih_prev = o_inbuf
+            z = y_inner + i_pending[0][:, j * m1:(j + 1) * m1]
+            if j == r2 - 1:
+                i_inbuf = jnp.concatenate(
+                    [jnp.swapaxes(sblocks_l[jj], 0, 1).reshape(c_l, r1 * n)
+                     for jj in range(r2)], axis=-1).astype(h_prev.dtype)
+                f_ring, zf = stage_fire(f_ring, f_prev, i_inbuf, f_co, m2)
+                f_prev = i_inbuf
+                i_pending = jnp.concatenate([i_pending[1:], zf[None]], axis=0)
+            o_pending = jnp.concatenate([o_pending[1:], z[None]], axis=0)
+        return (h_ring, h_prev, h_cnt + r1 * r2, ih_ring, ih_prev,
+                ih_cnt + r2, f_ring, f_prev, f_cnt + 1, i_inbuf, i_pending,
+                o_inbuf, o_pending, jnp.stack(outs))
+
+    def macro(state, coeffs, sblocks):
+        (h_ring, h_prev, h_cnt, ih_ring, ih_prev, ih_cnt, f_ring, f_prev,
+         f_cnt, i_inbuf, i_pending, o_inbuf, o_pending, outs) = body(
+            state.head.ring, state.head.prev_block, state.head.blockcounter,
+            state.tail.head.ring, state.tail.head.prev_block,
+            state.tail.head.blockcounter,
+            state.tail.tail.ring, state.tail.tail.prev_block,
+            state.tail.tail.blockcounter,
+            state.tail.pending, state.pending,
+            coeffs.head, coeffs.tail.head, coeffs.tail.tail, sblocks)
+        return NU.Nu3State(
+            head=K.HcState(h_ring, h_prev, h_cnt),
+            tail=NU.NuState(K.HcState(ih_ring, ih_prev, ih_cnt),
+                            K.HcState(f_ring, f_prev, f_cnt),
+                            i_inbuf, i_pending),
+            inbuf=o_inbuf, pending=o_pending), outs
+
+    return macro
+
+
 class ShardedEngine:
     """Multi-device partitioned convolver.
 
@@ -670,10 +935,11 @@ class ShardedEngine:
             raise ValueError(f"schedule must be ppermute or gspmd, got {schedule!r}")
         if local_impl is None:
             local_impl = "hc" if jax.default_backend() != "cpu" else "complex"
-        if local_impl not in ("hc", "complex", "nonuniform"):
+        if local_impl not in ("hc", "complex", "nonuniform", "nonuniform3"):
             raise ValueError(
-                f"local_impl must be hc, complex or nonuniform, got {local_impl!r}")
-        if local_impl in ("hc", "nonuniform") and schedule == "gspmd":
+                "local_impl must be hc, complex, nonuniform or nonuniform3, "
+                f"got {local_impl!r}")
+        if local_impl in ("hc", "nonuniform", "nonuniform3") and schedule == "gspmd":
             raise ValueError(f"local_impl={local_impl!r} requires the ppermute schedule")
         self.spec = spec
         self.n_channels = n_channels
@@ -689,10 +955,98 @@ class ShardedEngine:
         # [P, 2, 1, Hp] replicated over "c" (1/C the coefficient HBM per
         # chip, like single-chip). hc / nonuniform local engines only.
         self.shared_coeffs = bool(shared_coeffs) and local_impl in (
-            "hc", "nonuniform")
+            "hc", "nonuniform", "nonuniform3")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        if local_impl == "nonuniform":
+        if local_impl == "nonuniform3":
+            from bfir_tpu.core import nonuniform as NU
+            from bfir_tpu.kernels import spectrum_mac as K
+
+            p_shards = mesh.shape["p"]
+            if nuspec is None:
+                nuspec = NU.nu3_geometry(
+                    spec.n_partitions * spec.block_length, spec.block_length,
+                    ratio1=8, ratio2=8, dtype=spec.dtype,
+                    tail_store=nu_tail_store)
+            nuspec = _nu3_pad_far(nuspec, p_shards)
+            if nuspec.p_head % p_shards or nuspec.inner.p_head % p_shards:
+                raise ValueError(
+                    f"nu3 head partitions ({nuspec.p_head} outer / "
+                    f"{nuspec.inner.p_head} inner) not divisible by "
+                    f"mesh p={p_shards}")
+            taps = spec.n_partitions * spec.block_length
+            if taps <= (nuspec.p_head * spec.block_length
+                        + nuspec.inner.p_head * nuspec.m1):
+                raise ValueError(
+                    f"filter ({taps} taps) too short for the sharded "
+                    "three-stage engine (outer+inner heads alone cover it)")
+            self.nuspec = nuspec
+            n = nuspec.block_length
+            inner = nuspec.inner
+            hp_n = -(-n // 128) * 128
+            hp_m1 = -(-nuspec.m1 // 128) * 128
+            hp_m2 = -(-inner.m // 128) * 128
+            hc_sh = lambda: K.HcState(
+                ring=NamedSharding(mesh, P("p", None, "c", None)),
+                prev_block=NamedSharding(mesh, P("c", None)),
+                blockcounter=NamedSharding(mesh, P()),
+            )
+            self._state_shardings = NU.Nu3State(
+                head=hc_sh(),
+                tail=NU.NuState(
+                    head=hc_sh(), tail=hc_sh(),
+                    inbuf=NamedSharding(mesh, P("c", None)),
+                    pending=NamedSharding(mesh, P(None, "c", None))),
+                inbuf=NamedSharding(mesh, P("c", None)),
+                pending=NamedSharding(mesh, P(None, "c", None)),
+            )
+            Pco4 = (P("p", None, None, None) if self.shared_coeffs
+                    else P("p", None, "c", None))
+            self._coeff_sharding = NU.Nu3Coeffs(
+                head=NamedSharding(mesh, Pco4),
+                tail=NU.NuCoeffs(head=NamedSharding(mesh, Pco4),
+                                 tail=NamedSharding(mesh, Pco4)),
+            )
+            self._block_sharding = NamedSharding(mesh, P("c", None))
+            self._step_fn = make_ppermute_step_nu3(
+                mesh, nuspec, n_channels, interpret=self._interpret,
+                use_pallas=True, shared=self.shared_coeffs)
+            self._macro_fn = make_ppermute_macro_nu3(
+                mesh, nuspec, n_channels, interpret=self._interpret,
+                use_pallas=True, shared=self.shared_coeffs)
+            self._scan_macro = None
+            self._nu_xfade = None
+            dt = jnp.dtype(spec.dtype)
+            dt_far = (jnp.bfloat16 if inner.tail_store == "bfloat16" else dt)
+            c = n_channels
+            m1, m2 = nuspec.m1, inner.m
+            d1, d2 = nuspec.delay_blocks, inner.delay_blocks
+
+            def _mk_state3():
+                return NU.Nu3State(
+                    head=K.HcState(
+                        ring=jnp.zeros((nuspec.p_head, 2, c, hp_n), dt),
+                        prev_block=jnp.zeros((c, n), dt),
+                        blockcounter=jnp.zeros((), jnp.int32)),
+                    tail=NU.NuState(
+                        head=K.HcState(
+                            ring=jnp.zeros((inner.p_head, 2, c, hp_m1), dt),
+                            prev_block=jnp.zeros((c, m1), dt),
+                            blockcounter=jnp.zeros((), jnp.int32)),
+                        tail=K.HcState(
+                            ring=jnp.zeros((inner.p_tail, 2, c, hp_m2),
+                                           dt_far),
+                            prev_block=jnp.zeros((c, m2), dt),
+                            blockcounter=jnp.zeros((), jnp.int32)),
+                        inbuf=jnp.zeros((c, m2), dt),
+                        pending=jnp.zeros((d2, c, m2), dt)),
+                    inbuf=jnp.zeros((c, m1), dt),
+                    pending=jnp.zeros((d1, c, m1), dt),
+                )
+
+            self._init = jax.jit(_mk_state3,
+                                 out_shardings=self._state_shardings)
+        elif local_impl == "nonuniform":
             from bfir_tpu.core import nonuniform as NU
             from bfir_tpu.kernels import spectrum_mac as K
 
@@ -828,6 +1182,24 @@ class ShardedEngine:
 
     def prepare_coeffs(self, impulse, scale: float = 1.0,
                        precise: bool = False) -> jax.Array:
+        if self.local_impl == "nonuniform3":
+            from bfir_tpu.core import nonuniform as NU
+
+            co = NU.nu3_coeffs(impulse, self.nuspec, self.n_channels,
+                               scale=scale, precise=precise,
+                               shared=self.shared_coeffs)
+            p_shards = self.mesh.shape["p"]
+
+            def _reorder(plane):  # [P, 2*cs, Hp] -> rolled 4-D shard layout
+                p, c2, hp = plane.shape
+                plane = plane.reshape(p, 2, c2 // 2, hp)
+                return _hc_chunk_reorder(plane, p_shards)
+
+            co = NU.Nu3Coeffs(
+                head=_reorder(co.head),
+                tail=NU.NuCoeffs(head=_reorder(co.tail.head),
+                                 tail=_reorder(co.tail.tail)))
+            return self._place_coeffs(co)
         if self.local_impl == "nonuniform":
             from bfir_tpu.core import nonuniform as NU
 
@@ -881,6 +1253,12 @@ class ShardedEngine:
         """Glitch-free filter swap: one sharded block with old->new ramp.
         (The nonuniform local engine uses the two-phase ``nu_crossfade_steps``
         protocol instead — this one-shot form is for the uniform engines.)"""
+        if self.local_impl == "nonuniform3":
+            # live crossfade on the sharded three-stage engine is not
+            # implemented: the session rebuilds on reconfigure instead
+            # (mirroring the single-chip nu3 mid-transition rule; PARITY.md)
+            raise NotImplementedError(
+                "sharded nonuniform3 reconfigures by rebuild, not crossfade")
         if self.local_impl == "nonuniform":
             ramp, _ = self.nu_crossfade_steps()
             return ramp(state, coeff_old, coeff_new, block)
@@ -910,6 +1288,41 @@ class ShardedEngine:
         cond-free macro scan (identical outputs; no per-block tail-ring
         pass-through copy — the same host-side alignment choice as
         ``engine.session._process_buffer_locked``)."""
+        if self.local_impl == "nonuniform3":
+            import numpy as _np
+
+            r1 = self.nuspec.ratio1
+            r2 = self.nuspec.inner.ratio
+            sup = r1 * r2
+            b = blocks.shape[0]
+            aligned = (b % sup == 0 and
+                       int(_np.asarray(state.head.blockcounter)) % sup == 0)
+            if aligned:
+                if self._scan_macro is None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    macro_fn = self._macro_fn
+
+                    def scan_fn(st, co, cycles):  # [K, r2, r1, C, N]
+                        def body(s, sb):
+                            st2, ys = macro_fn(s, co, sb)
+                            return st2, ys
+                        st, ys = jax.lax.scan(body, st, cycles)
+                        return st, ys.reshape(-1, *ys.shape[2:])
+
+                    cy_sh = NamedSharding(self.mesh,
+                                          P(None, None, None, "c", None))
+                    out_sh = NamedSharding(self.mesh, P(None, "c", None))
+                    self._scan_macro = jax.jit(
+                        scan_fn,
+                        in_shardings=(self._state_shardings,
+                                      self._coeff_sharding, cy_sh),
+                        out_shardings=(self._state_shardings, out_sh),
+                        donate_argnums=0,
+                    )
+                c, n = blocks.shape[1], blocks.shape[2]
+                cycles = blocks.reshape(b // sup, r2, r1, c, n)
+                return self._scan_macro(state, coeffs, cycles)
         if self.local_impl == "nonuniform":
             import numpy as _np
 
@@ -973,7 +1386,7 @@ class ShardedEngine:
         the jitted wrapper converts on entry and back on exit, so ``step``
         and ``process_batch`` interoperate freely on the same state.
         """
-        if self.local_impl in ("hc", "nonuniform"):
+        if self.local_impl in ("hc", "nonuniform", "nonuniform3"):
             # these states have no pointer-layout complex equivalent; bulk
             # work goes through process_blocks (one scan dispatch)
             return self.process_blocks(state, coeffs, blocks)
@@ -1075,3 +1488,35 @@ def dryrun(n_devices: Optional[int] = None, mesh: Optional[Mesh] = None) -> None
                                                  - np.asarray(o_ref)))))
     if err_nu > 1e-4:
         raise AssertionError(f"sharded nonuniform step diverged: {err_nu}")
+    # and the nonuniform3-local composition (the very-long-filter tier,
+    # VERDICT r4 next #3): three stages at their own collective cadences,
+    # checked against the single-chip step_nu3
+    r1 = r2 = 2
+    p_head3 = int(np.lcm(2 * r1, p_shards))
+    p_head3i = int(np.lcm(2 * r2, p_shards))
+    inner3 = NU.NuSpec(block_length=r1 * n, ratio=r2, p_head=p_head3i,
+                       p_tail=p_shards, dtype="float32")
+    spec3 = NU.Nu3Spec(block_length=n, ratio1=r1, p_head=p_head3,
+                       inner=inner3)
+    taps3 = spec3.max_taps
+    spec_nu3 = FilterSpec(block_length=n, n_partitions=taps3 // n,
+                          dtype="float32")
+    h3 = rng.standard_normal((c, taps3)).astype(np.float32) * 0.05
+    eng3 = ShardedEngine(spec_nu3, c, m, local_impl="nonuniform3",
+                         nuspec=spec3)
+    st3 = eng3.init_state()
+    co3 = eng3.prepare_coeffs(h3)
+    st3_ref = NU.init_nu3_state(eng3.nuspec, c)
+    co3_ref = NU.nu3_coeffs(h3, eng3.nuspec, c)
+    nblocks3 = 2 * r1 * r2 + 1
+    x3 = rng.standard_normal((c, nblocks3 * n)).astype(np.float32)
+    err3 = 0.0
+    for b in range(nblocks3):
+        block = x3[:, b * n : (b + 1) * n]
+        st3, o = eng3.step(st3, co3, block)
+        st3_ref, o_ref = NU.step_nu3(st3_ref, co3_ref, block, interpret=True,
+                                     use_pallas=False)
+        err3 = max(err3, float(np.max(np.abs(np.asarray(o)
+                                             - np.asarray(o_ref)))))
+    if err3 > 1e-4:
+        raise AssertionError(f"sharded nonuniform3 step diverged: {err3}")

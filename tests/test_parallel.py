@@ -711,3 +711,190 @@ def test_sharded_shared_coeffs_match_broadcast(devices, local):
         scale = max(1.0, float(np.abs(np.asarray(o_b)).max()))
         np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_b),
                                    atol=2e-5 * scale, err_msg=f"block {b}")
+
+
+# ---------------------------------------------------------------------------
+# Sharded THREE-stage engine (VERDICT r4 next #3): the very-long-filter tier
+# (session auto >= 640 partitions) must have a pod path too — verified
+# against the single-chip step_nu3 across mesh shapes, with one cp+ar pair
+# per stage at its own cadence.
+# ---------------------------------------------------------------------------
+
+
+def _nu3_sharded_setup(c_shards, p_shards, c=4, n=128, seed=0,
+                       tail_store="float32"):
+    from bfir_tpu.core import nonuniform as NU
+
+    rng = np.random.default_rng(seed)
+    r1 = r2 = 2
+    p_head = int(np.lcm(2 * r1, p_shards))
+    p_head_i = int(np.lcm(2 * r2, p_shards))
+    p_far = int(np.lcm(1, p_shards)) * 2
+    m1 = r1 * n
+    inner = NU.NuSpec(block_length=m1, ratio=r2, p_head=p_head_i,
+                      p_tail=p_far, dtype="float32", tail_store=tail_store)
+    spec3 = NU.Nu3Spec(block_length=n, ratio1=r1, p_head=p_head, inner=inner)
+    taps = spec3.max_taps
+    h = (rng.standard_normal((c, taps)) * 0.05).astype(np.float32)
+    spec = FilterSpec(block_length=n, n_partitions=taps // n, dtype="float32")
+    mesh = M.make_mesh(channel_shards=c_shards, partition_shards=p_shards)
+    eng = ShardedEngine(spec, c, mesh, local_impl="nonuniform3", nuspec=spec3)
+    return rng, h, spec, mesh, eng, NU
+
+
+@pytest.mark.parametrize("c_shards,p_shards", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_nu3_matches_single_chip(devices, c_shards, p_shards):
+    """Sharded three-stage engine == single-chip step_nu3 to fp rounding,
+    across mesh shapes, through several full super-cycles (so the far
+    stage's pending outputs land)."""
+    rng, h, spec, mesh, eng, NU = _nu3_sharded_setup(c_shards, p_shards,
+                                                     seed=60)
+    c, n = 4, 128
+    st = eng.init_state()
+    co = eng.prepare_coeffs(h)
+    st1 = NU.init_nu3_state(eng.nuspec, c)
+    co1 = NU.nu3_coeffs(h, eng.nuspec, c)
+    sup = eng.nuspec.ratio1 * eng.nuspec.inner.ratio
+    nblocks = 3 * sup + 1
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st, o = eng.step(st, co, blk)
+        st1, o1 = NU.step_nu3(st1, co1, blk, interpret=True,
+                              use_pallas=False)
+        scale = max(1.0, float(np.abs(np.asarray(o1)).max()))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o1),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
+
+
+def test_sharded_nu3_matches_scipy(devices):
+    """Absolute correctness: the sharded three-stage stream vs the scipy
+    float64 oracle, worst channel."""
+    from scipy import signal
+
+    rng, h, spec, mesh, eng, NU = _nu3_sharded_setup(2, 4, seed=61)
+    c, n = 4, 128
+    st = eng.init_state()
+    co = eng.prepare_coeffs(h)
+    sup = eng.nuspec.ratio1 * eng.nuspec.inner.ratio
+    nblocks = 3 * sup
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    outs = []
+    for b in range(nblocks):
+        st, o = eng.step(st, co, x[:, b * n:(b + 1) * n])
+        outs.append(np.asarray(o))
+    y = np.concatenate(outs, axis=1)
+    ref = signal.fftconvolve(x.astype(np.float64), h.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    worst = min(
+        10 * np.log10(float((ref[ch] ** 2).sum())
+                      / max(float(((y[ch] - ref[ch]) ** 2).sum()), 1e-300))
+        for ch in range(c))
+    assert worst > 100, worst
+
+
+def test_sharded_nu3_macro_scan_matches_steps(devices):
+    """Super-cycle-aligned process_blocks (cond-free macro scan) == the
+    per-block steps to f32 rounding (different XLA graphs fuse the inverse
+    transforms differently on CPU, so bit-exactness is not guaranteed here
+    the way the two-stage macro happens to be), and the state threads."""
+    import jax.numpy as jnp
+
+    rng, h, spec, mesh, eng, NU = _nu3_sharded_setup(2, 4, seed=62)
+    c, n = 4, 128
+    sup = eng.nuspec.ratio1 * eng.nuspec.inner.ratio
+    co = eng.prepare_coeffs(h)
+    nblocks = 2 * sup
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    blocks = jnp.asarray(x.reshape(c, nblocks, n).transpose(1, 0, 2))
+    st_b, ys = eng.process_blocks(eng.init_state(), co, blocks)
+    st_s = eng.init_state()
+    refs = []
+    for b in range(nblocks):
+        st_s, o = eng.step(st_s, co, x[:, b * n:(b + 1) * n])
+        refs.append(np.asarray(o))
+    refs = np.stack(refs)
+    scale = max(1.0, float(np.abs(refs).max()))
+    np.testing.assert_allclose(np.asarray(ys), refs, atol=2e-5 * scale)
+    blk = rng.standard_normal((c, n)).astype(np.float32)
+    _, o_b = eng.step(st_b, co, blk)
+    _, o_s = eng.step(st_s, co, blk)
+    np.testing.assert_allclose(np.asarray(o_b), np.asarray(o_s),
+                               atol=2e-5 * scale)
+
+
+def test_hlo_collectives_nu3(devices):
+    """Sharded-nu3 inventory: one collective-permute + one all-reduce per
+    STAGE (outer head every block; inner head and far under their nested
+    fire conds), 0 all-gathers."""
+    import re
+
+    _, h, spec, mesh, eng, NU = _nu3_sharded_setup(2, 4, seed=63)
+    c, n = 4, 128
+    st = jax.eval_shape(eng._init)
+    st = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        st, eng._state_shardings)
+    co = eng.prepare_coeffs(h)
+    co = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+        co)
+    block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                 sharding=eng._block_sharding)
+    txt = eng._step.lower(st, co, block).compile().as_text()
+    n_cp = len(re.findall(r"collective-permute\(", txt))
+    n_ar = len(re.findall(r"all-reduce\(", txt))
+    n_ag = len(re.findall(r"all-gather\(", txt))
+    assert n_ag == 0, f"sharded-nu3 step must not all-gather (found {n_ag})"
+    assert n_cp == 3 and n_ar == 3, \
+        f"expected one cp+ar per stage: cp={n_cp} ar={n_ar}"
+
+
+def test_collective_bytes_match_comm_model_nu3(devices):
+    """Per-stage payloads: 2·(C/c)·Hp·4 for Hp in (Hp_N, Hp_M1, Hp_M2) —
+    the COMM_MODEL.md nu3 rows, parsed from the compiled HLO."""
+    c, n = 4, 128
+    c_shards, p_shards = 2, 4
+    _, h, spec, mesh, eng, NU = _nu3_sharded_setup(c_shards, p_shards,
+                                                   seed=64)
+    st = jax.eval_shape(eng._init)
+    st = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        st, eng._state_shardings)
+    co = eng.prepare_coeffs(h)
+    co = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+        co)
+    block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                 sharding=eng._block_sharding)
+    txt = eng._step.lower(st, co, block).compile().as_text()
+    got = _collective_bytes(txt)
+    hp_n = -(-n // 128) * 128
+    hp_m1 = -(-eng.nuspec.m1 // 128) * 128
+    hp_m2 = -(-eng.nuspec.inner.m // 128) * 128
+    sizes = [2 * (c // c_shards) * hp * 4 for hp in (hp_n, hp_m1, hp_m2)]
+    assert got["all-gather"] == []
+    assert sorted(got["collective-permute"]) == sorted(sizes), got
+    assert sorted(got["all-reduce"]) == sorted(sizes), got
+
+
+def test_sharded_nu3_validation(devices):
+    """Geometry checks: head partition counts must divide the mesh "p"
+    axis; the crossfade surface reports rebuild-only reconfigure."""
+    from bfir_tpu.core import nonuniform as NU
+
+    mesh = M.make_mesh(channel_shards=1, partition_shards=8)
+    n = 128
+    inner = NU.NuSpec(block_length=2 * n, ratio=2, p_head=4, p_tail=8,
+                      dtype="float32")
+    spec3 = NU.Nu3Spec(block_length=n, ratio1=2, p_head=4, inner=inner)
+    taps = spec3.max_taps
+    spec = FilterSpec(block_length=n, n_partitions=taps // n, dtype="float32")
+    with pytest.raises(ValueError, match="not divisible"):
+        ShardedEngine(spec, 4, mesh, local_impl="nonuniform3", nuspec=spec3)
+
+    rng, h, spec, mesh, eng, NU = _nu3_sharded_setup(2, 4, seed=65)
+    co = eng.prepare_coeffs(h)
+    st = eng.init_state()
+    with pytest.raises(NotImplementedError, match="rebuild"):
+        eng.step_crossfade(st, co, co, np.zeros((4, 128), np.float32))

@@ -250,3 +250,47 @@ def test_sharded_session_nu_selfcheck_fallback_to_uniform(cache, tmp_path,
                     for c in range(2)])
     snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
     assert snr > 100, snr
+
+
+def test_sharded_session_nonuniform3_local(cache, tmp_path):
+    """sharded_local="nonuniform3" activates the sharded three-stage engine
+    behind the StreamProcessor surface (the very-long-filter pod tier,
+    VERDICT r4 next #3), verified vs scipy through the bulk macro scan.
+    Self-check is disabled here (the scipy check below IS the check; the
+    full warm-up stream through 8 interpret-mode shard devices would
+    dominate suite runtime), and reconfigure is rebuild-only."""
+    import dataclasses
+
+    from scipy import signal
+
+    rng = np.random.default_rng(70)
+    block = 128
+    taps = 40960  # 320 partitions: beyond outer+inner head coverage (18432)
+    imp = rng.standard_normal((2, taps)) * 0.05
+    fname = save_impulse(tmp_path, "irnu3.wav", imp)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, fname, block=block),
+        filter=FilterSpec(block_length=block, n_partitions=1, dtype="float32"),
+        sharded_local="nonuniform3", self_check=False)
+    sp = StreamProcessor(cfg, cache)
+    sup = 64  # r1 * r2 of the auto geometry
+    x = rng.standard_normal((2, 4 * sup * block))
+    y = sp.process_buffer(x)
+    assert sp._impl == "sharded"
+    assert sp._sharded.local_impl == "nonuniform3"
+    ref = np.stack([signal.fftconvolve(x[c], imp[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 100, snr
+
+    # reconfigure on this engine is rebuild-only (no sharded nu3 crossfade)
+    imp2 = imp * 0.5
+    fname2 = save_impulse(tmp_path, "irnu3b.wav", imp2)
+    cfg2 = dataclasses.replace(cfg, chain=dataclasses.replace(
+        cfg.chain, files=(ImpulseFileSpec(enabled=True, filename=fname2),
+                          ImpulseFileSpec(), ImpulseFileSpec())))
+    sp.reconfigure(cfg2)
+    assert sp._pending_swap is None, "nu3 sharded must rebuild, not crossfade"
+    y2 = sp.process_buffer(rng.standard_normal((2, sup * block)))
+    assert sp._sharded.local_impl == "nonuniform3"
+    assert y2.shape[1] == sup * block
