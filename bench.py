@@ -457,6 +457,102 @@ def bench_batch(spec, h, jnp, jax, n_iters, batch_blocks=240, scan_batches=8):
     return sps, s
 
 
+def bench_socket(h, jnp, jax, n_frames=128):
+    """Socket-path real-time factor (VERDICT r4 weak #3): the TCP audio
+    server's data plane measured end to end — PCM frames over a loopback
+    socket through the pipelined serve loop (decode -> engine -> encode),
+    with the client keeping the server's bounded in-flight queue full. The
+    number is the PRODUCT surface's streaming rate: wire framing, format
+    conversion and dispatch pipelining included. Correctness of the first
+    blocks is asserted against scipy before timing."""
+    import json as _json
+    import socket
+    import struct
+    import tempfile
+    import threading
+
+    from scipy import signal
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.core.spec import (ChainSpec, EngineConfig, FilterSpec,
+                                    ImpulseFileSpec, StreamSpec)
+    from bfir_tpu.io import wavio
+    from bfir_tpu.ops import formats as fmops
+    from bfir_tpu.core.spec import SampleFormat
+
+    on_cpu = jax.default_backend() == "cpu"
+    taps = 4096 if on_cpu else h.shape[-1]
+    hh = h[:, :taps]
+    if on_cpu:
+        n_frames = 12
+    tmp = tempfile.mkdtemp(prefix="bfir_bench_sock_")
+    irpath = os.path.join(tmp, "ir.wav")
+    wavio.write(irpath, hh.T.astype(np.float64), 44100, subtype="float64")
+    files = (ImpulseFileSpec(enabled=True, filename=irpath),
+             ImpulseFileSpec(), ImpulseFileSpec())
+    cfg = EngineConfig(
+        filter=FilterSpec(block_length=BLOCK, n_partitions=1, dtype="float32"),
+        stream=StreamSpec(n_channels=CHANNELS, sample_rate=44100),
+        chain=ChainSpec(files=files))
+    srv = AudioServer(cfg, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((CHANNELS, n_frames * BLOCK)).astype(np.float32)
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=600)
+        s.sendall((_json.dumps({"channels": CHANNELS, "sample_rate": 44100,
+                                "in_format": "float_le",
+                                "out_format": "float_le"}) + "\n").encode())
+        f = s.makefile("rb")
+        hdr = _json.loads(f.readline().decode())
+        if not hdr.get("ok"):
+            log(f"socket bench: server refused header: {hdr}")
+            return 0.0, float("nan")
+        replies = []
+
+        def read_replies(count):
+            for _ in range(count):
+                (n,) = struct.unpack("<I", f.read(4))
+                replies.append(f.read(n))
+
+        # warm-up (compile) frame, synchronous
+        raw0 = fmops.encode_float(x[:, :BLOCK], SampleFormat.FLOAT_LE)
+        t0 = time.time()
+        s.sendall(struct.pack("<I", len(raw0)) + raw0)
+        read_replies(1)
+        log(f"socket warm-up frame (compile): {time.time()-t0:.1f}s")
+
+        # timed: remaining frames, fully pipelined (reader thread drains)
+        rest = n_frames - 1
+        rt = threading.Thread(target=read_replies, args=(rest,))
+        t0 = time.time()
+        rt.start()
+        for i in range(1, n_frames):
+            raw = fmops.encode_float(x[:, i * BLOCK:(i + 1) * BLOCK],
+                                     SampleFormat.FLOAT_LE)
+            s.sendall(struct.pack("<I", len(raw)) + raw)
+        rt.join()
+        dt = time.time() - t0
+        s.sendall(struct.pack("<I", 0))
+        struct.unpack("<I", f.read(4))
+        s.close()
+        y = fmops.decode(b"".join(replies), SampleFormat.FLOAT_LE, CHANNELS)
+        ref = signal.fftconvolve(
+            x[:, : y.shape[1] + 4 * BLOCK].astype(np.float64),
+            hh.astype(np.float64), axes=1)[:, : y.shape[1]]
+        snr = worst_channel_snr(y.astype(np.float64), ref)
+        log(f"socket-path worst-channel SNR vs scipy: {snr:.1f} dB")
+        if snr < 80:
+            return 0.0, snr
+        sps = rest * BLOCK * CHANNELS / dt
+        rtf = sps / (44100.0 * CHANNELS)
+        log(f"socket path: {dt/rest*1e3:.2f} ms/frame -> {sps/1e6:.1f} M "
+            f"samples/s = {rtf:.1f}x real-time through the wire")
+        return sps, snr
+    finally:
+        srv.stop()
+
+
 def bench_fft(spec, jnp, jax, n_iters):
     """FFT-only microbench (BASELINE.md '>=95% of roofline' target;
     VERDICT r1 missing #5).
@@ -669,6 +765,17 @@ def _run_path(which: str):
     elif which == "bulk":
         sps, s = bench_bulk(h, jnp, jax, n_iters=2 if on_cpu else 8)
         print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
+    elif which == "socket":
+        sps, s = bench_socket(h, jnp, jax)
+        print(json.dumps({"sps": sps, "snr": s, "backend": backend}))
+    elif which == "phase":
+        # per-phase device latency of the nu engines (worst-block evidence
+        # for the real-time budget claim, VERDICT r4 weak #2); prints its
+        # own JSON line
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.phase_latency import main as phase_main
+
+        phase_main([] if not on_cpu else ["--cpu"])
     elif which == "fft":
         res = bench_fft(spec, jnp, jax, n_iters=5 if on_cpu else 30)
         res["backend"] = backend
@@ -718,6 +825,10 @@ def main():
     # fft compiles 8 differential-scan graphs; allow for a slow remote
     # compile tunnel (observed >600s cold)
     fft = sub("fft", 1500)
+    # per-phase latency (5 differential scans over the nu phase graphs)
+    phase = sub("phase", 1500)
+    # socket data plane: loopback TCP through the pipelined audio server
+    sock = sub("socket", 900)
 
     uniform_batch_sps = batch.get("sps", 0.0) or 0.0
     bulk_sps = bulk.get("sps", 0.0) or 0.0
@@ -763,6 +874,18 @@ def main():
         "nu_shared_snr_db": (round(nustream["shared_snr"], 1)
                              if nustream.get("shared_snr") is not None else None),
         "nu_stream_sps": round(nustream.get("sps", 0.0) or 0.0, 1),
+        "socket_sps": round(sock.get("sps", 0.0) or 0.0, 1),
+        "socket_rt_factor": (round((sock.get("sps") or 0.0)
+                                   / (44100.0 * CHANNELS), 2)
+                             if sock.get("sps") else None),
+        "socket_snr_db": (round(sock["snr"], 1)
+                          if sock.get("snr") is not None else None),
+        "nu_fire_phase_ms": (round(phase["std"]["fire_ms"], 4)
+                             if phase.get("std") else None),
+        "nu_split_worst_phase_ms": (round(phase["split"]["worst_ms"], 4)
+                                    if phase.get("split") else None),
+        "nu_split_worst_over_mean": (round(phase["split"]["worst_over_mean"], 3)
+                                     if phase.get("split") else None),
         "nu_snr_db": round(nustream["snr"], 1) if nustream.get("snr") is not None else None,
         "batch_sps": round(batch_sps, 1),
         "batch_uniform_sps": round(uniform_batch_sps, 1),

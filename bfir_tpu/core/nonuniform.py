@@ -274,6 +274,7 @@ def step_nu(
     block: jax.Array,
     interpret: bool = False,
     use_pallas: bool = True,
+    phase=None,
 ) -> Tuple[NuState, jax.Array]:
     """One N-block through the two-stage engine. Outputs match the uniform
     engine (step_hc at P = p_head + ratio*p_tail) to fp rounding; amortized
@@ -281,21 +282,27 @@ def step_nu(
 
     Every phase compiles into the same step: the tail engine fires under
     ``lax.cond`` on phase R-1 (both branches static-shape), so a
-    ``lax.scan`` over blocks streams exactly like the uniform engines."""
+    ``lax.scan`` over blocks streams exactly like the uniform engines.
+    ``phase``: a static int pins the fire/hold decision at trace time (no
+    cond — used by the per-phase latency benchmark); None keeps the
+    dynamic cond."""
     n = block.shape[-1]
     ratio = state.inbuf.shape[-1] // n
-    r_phase = jnp.mod(state.head.blockcounter, ratio)
+    r_phase = (jnp.mod(state.head.blockcounter, ratio) if phase is None
+               else phase)
 
     head, y_head = K.step_hc(state.head, coeffs.head, block,
                              interpret=interpret, use_pallas=use_pallas)
 
-    zero = jnp.zeros((), dtype=r_phase.dtype)
+    zero = jnp.zeros((), dtype=jnp.int32)
+    off = (r_phase * n if phase is None
+           else jnp.asarray(phase * n, dtype=jnp.int32))
     inbuf = jax.lax.dynamic_update_slice(
-        state.inbuf, block.astype(state.inbuf.dtype), (zero, r_phase * n))
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, off))
 
     c = state.inbuf.shape[0]
     tail_slice = jax.lax.dynamic_slice(
-        state.pending[0], (zero, r_phase * n), (c, n))
+        state.pending[0], (zero, off), (c, n))
 
     def fire(args):
         tail, pending, inbuf = args
@@ -307,8 +314,14 @@ def step_nu(
         tail, pending, _ = args
         return tail, pending
 
-    tail, pending = jax.lax.cond(
-        r_phase == ratio - 1, fire, hold, (state.tail, state.pending, inbuf))
+    if phase is None:
+        tail, pending = jax.lax.cond(
+            r_phase == ratio - 1, fire, hold,
+            (state.tail, state.pending, inbuf))
+    elif phase == ratio - 1:
+        tail, pending = fire((state.tail, state.pending, inbuf))
+    else:
+        tail, pending = hold((state.tail, state.pending, inbuf))
 
     out = y_head + tail_slice
     return NuState(head, tail, inbuf, pending), out
@@ -488,6 +501,192 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
         st, y = step_nu_macro(st, coeffs, mb, interpret=interpret,
                               use_pallas=use_pallas)
         return st, y
+
+    st, ys = jax.lax.scan(mbody, state, mcycles)
+    return st, ys.reshape(b, c, n)
+
+
+# ---------------------------------------------------------------------------
+# Split-tail schedule (VERDICT r4 next #4): the per-block latency smoother.
+#
+# step_nu's cost is uneven by construction: phase R-1 runs the whole tail
+# fire (forward M-transform + full tail MAC + inverse — ~0.5 ms at the
+# flagship geometry vs ~0.06 ms for other phases). The tail output has R
+# blocks of scheduling slack (D >= 2 guarantees a full M-cycle between an
+# M-block completing and its tail contribution being consumed), so the fire
+# can be SPREAD across the following cycle:
+#
+#   phase 0:      forward transform of the just-completed M-block + ring
+#                 insert (the only phase that can't split further without
+#                 splitting the transform itself), + frequency band 0 of
+#                 the MAC
+#   phase r:      frequency band r of the tail MAC — all partitions, one
+#                 Hp/R slice of the spectrum, written once into a carried
+#                 accumulator (banding by FREQUENCY instead of partitions
+#                 means no accumulator read-modify-write: each band is
+#                 produced by exactly one phase)
+#   phase R-1:    last band + the inverse transform; z is appended to a
+#                 pending queue of depth D-1 (one less than step_nu's: the
+#                 append happens one cycle later, so the queue is one
+#                 shorter — same consumption schedule, invariant preserved:
+#                 z[k] appended at cycle k+1 reaches pending[0] for cycle
+#                 k+D exactly as before).
+#
+# Amortized cost and SNR are unchanged (same kernels, same arithmetic per
+# M-cycle; the banded MAC accumulates partitions per bin in the same order
+# as the tiled kernel). Outputs are identical to step_nu up to fp rounding.
+# Measured per-phase device times live in benchmarks/phase_latency.py's
+# PHASE_LAT artifact; bench.py reports the worst-phase number each round.
+# ---------------------------------------------------------------------------
+
+
+class NuSplitState(NamedTuple):
+    """Split-tail streaming state: the two engine states plus the banded
+    MAC accumulator and a depth-(D-1) pending queue."""
+
+    head: K.HcState
+    tail: K.HcState
+    acc_r: jax.Array  # [C, Hp_t] f32 banded-MAC accumulator
+    acc_i: jax.Array
+    inbuf: jax.Array  # [C, M]
+    pending: jax.Array  # [D-1, C, M]
+
+
+def split_band_len(spec: NuSpec) -> int:
+    """Frequency band per phase; the geometry must split evenly into
+    128-lane-aligned bands (true for every power-of-two geometry the
+    session builds: Hp = M = ratio*N with N >= 128)."""
+    hp = -(-spec.m // 128) * 128
+    if hp % (spec.ratio * 128):
+        raise ValueError(
+            f"split-tail needs Hp ({hp}) divisible into {spec.ratio} "
+            "128-lane-aligned bands")
+    return hp // spec.ratio
+
+
+def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
+    dt = jnp.dtype(spec.dtype)
+    hp_t = -(-spec.m // 128) * 128
+    split_band_len(spec)  # geometry check
+    tail = K.init_hc_state(spec.tail_spec, n_channels)
+    if spec.tail_store == "bfloat16":
+        tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))
+    # accumulate in f32 for f32/bf16 engines, in the engine dtype otherwise
+    acc_dt = jnp.float32 if dt == jnp.float32 else dt
+    return NuSplitState(
+        head=K.init_hc_state(spec.head_spec, n_channels),
+        tail=tail,
+        acc_r=jnp.zeros((n_channels, hp_t), acc_dt),
+        acc_i=jnp.zeros((n_channels, hp_t), acc_dt),
+        inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
+        pending=jnp.zeros((max(1, spec.delay_blocks - 1), n_channels, spec.m),
+                          dtype=dt),
+    )
+
+
+def _split_band_mac(ring, coeff, pos, band: int, band_len: int,
+                    use_pallas: bool, interpret: bool):
+    if use_pallas:
+        return K.mac_pallas_hc_band(ring, coeff, pos, band * band_len,
+                                    band_len, interpret=interpret)
+    return K.mac_reference_hc_band(ring, coeff, pos, band * band_len,
+                                   band_len)
+
+
+def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
+                 use_pallas: bool, interpret: bool):
+    """One block at STATIC phase ``phase`` (python int) of the split-tail
+    schedule. ``step_nu_split`` dispatches dynamically via lax.switch;
+    scans and the phase-latency benchmark call this directly."""
+    n = block.shape[-1]
+    spec_ratio = state.inbuf.shape[-1] // n
+    m = state.inbuf.shape[-1]
+    c = state.inbuf.shape[0]
+    hp_t = state.acc_r.shape[-1]
+    band_len = hp_t // spec_ratio
+
+    head, y_head = K.step_hc(state.head, coeffs.head, block,
+                             interpret=interpret, use_pallas=use_pallas)
+
+    zero = jnp.zeros((), jnp.int32)
+    off = jnp.asarray(phase * n, jnp.int32)
+    tail_slice = jax.lax.dynamic_slice(state.pending[0], (zero, off), (c, n))
+
+    tail = state.tail
+    if phase == 0:
+        # the M-block completed last cycle (state.inbuf, BEFORE this
+        # block's slice-0 overwrite) enters the tail ring now
+        p_t = tail.ring.shape[0]
+        mold, xpk = K._hc_frame_spectrum(tail, state.inbuf, tail.ring.shape[-1])
+        pos = jnp.mod(tail.blockcounter, p_t)
+        ring = jax.lax.dynamic_update_slice(
+            tail.ring, xpk[None].astype(tail.ring.dtype), (pos, zero, zero))
+        tail = K.HcState(ring, mold, tail.blockcounter + 1)
+
+    inbuf = jax.lax.dynamic_update_slice(
+        state.inbuf, block.astype(state.inbuf.dtype), (zero, off))
+
+    # band MAC: the ring position of the newest slot is (counter-1) mod P
+    p_t = tail.ring.shape[0]
+    pos_now = jnp.mod(tail.blockcounter - 1, p_t)
+    br, bi = _split_band_mac(tail.ring, coeffs.tail, pos_now, phase,
+                             band_len, use_pallas, interpret)
+    boff = jnp.asarray(phase * band_len, jnp.int32)
+    acc_r = jax.lax.dynamic_update_slice(
+        state.acc_r, br.astype(state.acc_r.dtype), (zero, boff))
+    acc_i = jax.lax.dynamic_update_slice(
+        state.acc_i, bi.astype(state.acc_i.dtype), (zero, boff))
+
+    pending = state.pending
+    if phase == spec_ratio - 1:
+        z = _tail_inverse(acc_r.astype(state.inbuf.dtype),
+                          acc_i.astype(state.inbuf.dtype), m,
+                          use_pallas, interpret)
+        pending = jnp.concatenate([pending[1:], z[None]], axis=0)
+
+    out = y_head + tail_slice
+    return NuSplitState(head, tail, acc_r, acc_i, inbuf, pending), out
+
+
+def step_nu_split(
+    state: NuSplitState,
+    coeffs: NuCoeffs,
+    block: jax.Array,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> Tuple[NuSplitState, jax.Array]:
+    """One N-block through the split-tail two-stage engine (phase picked
+    dynamically with ``lax.switch``; outputs match ``step_nu`` to fp
+    rounding — see the schedule derivation above). Requires D >= 2 (every
+    ``nu_geometry`` output satisfies it)."""
+    n = block.shape[-1]
+    ratio = state.inbuf.shape[-1] // n
+    r_phase = jnp.mod(state.head.blockcounter, ratio)
+    branches = [
+        (lambda ph: lambda st_blk: _split_phase(
+            st_blk[0], coeffs, st_blk[1], ph, use_pallas, interpret))(ph)
+        for ph in range(ratio)
+    ]
+    return jax.lax.switch(r_phase, branches, (state, block))
+
+
+def process_blocks_nu_split(state: NuSplitState, coeffs: NuCoeffs, blocks,
+                            interpret: bool = False, use_pallas: bool = True):
+    """Cond-free scan over M-cycle-aligned blocks [B, C, N] (B a multiple
+    of R, state at phase 0): the R phases unroll statically per cycle."""
+    b, c, n = blocks.shape
+    ratio = state.inbuf.shape[-1] // n
+    if b % ratio:
+        raise ValueError(f"block count {b} not a multiple of R={ratio}")
+    mcycles = blocks.reshape(b // ratio, ratio, c, n)
+
+    def mbody(st, mb):
+        outs = []
+        for ph in range(ratio):
+            st, y = _split_phase(st, coeffs, mb[ph], ph, use_pallas,
+                                 interpret)
+            outs.append(y)
+        return st, jnp.stack(outs)
 
     st, ys = jax.lax.scan(mbody, state, mcycles)
     return st, ys.reshape(b, c, n)

@@ -685,8 +685,11 @@ def mac_reference_hc_band(ring_pk, coeff_pk, pos, band_start: int,
     p, c2, hp = ring_pk.shape
     c = c2 // 2
     cs = coeff_pk.shape[1] // 2
-    ring = ring_pk[..., band_start:band_start + band_len].astype(jnp.float32)
-    coeff = coeff_pk[..., band_start:band_start + band_len].astype(jnp.float32)
+    ring = ring_pk[..., band_start:band_start + band_len]
+    coeff = coeff_pk[..., band_start:band_start + band_len]
+    if ring.dtype in (jnp.bfloat16, jnp.float16):
+        ring = ring.astype(jnp.float32)
+        coeff = coeff.astype(jnp.float32)
     idx = jnp.mod(pos - jnp.arange(p, dtype=jnp.int32), p)
     rr = jnp.take(ring[:, :c], idx, axis=0)
     ri = jnp.take(ring[:, c:], idx, axis=0)

@@ -305,3 +305,110 @@ def test_audio_server_rejects_bad_header(tmp_path):
         s.close()
     finally:
         srv.stop()
+
+
+def test_audio_server_multi_client_concurrent(tmp_path):
+    """N=4 clients streaming CONCURRENTLY (VERDICT r4 next #5): each gets
+    its own session and its own correct output (worst channel vs scipy),
+    with no cross-talk between connections."""
+    import threading
+
+    import numpy as np
+    from scipy import signal
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.io import wavio
+    from bfir_tpu.ops import formats as fmops
+
+    rng = np.random.default_rng(71)
+    h = rng.standard_normal((2, 500)) * 0.1
+    p = str(tmp_path / "ir.wav")
+    wavio.write(p, h.T, 44100, subtype="float64")
+    cfg = _cfg_with_impulse(p, block=256)
+    srv = AudioServer(cfg, host="127.0.0.1", port=0)
+    srv.start()
+    n_clients = 4
+    signals = [rng.standard_normal((2, 1440)) for _ in range(n_clients)]
+    results = [None] * n_clients
+    errors = []
+
+    def client(i):
+        try:
+            frames = [fmops.encode_float(signals[i][:, a:a + 640],
+                                         SampleFormat.FLOAT_LE)
+                      for a in range(0, 1280, 640)] + [
+                fmops.encode_float(signals[i][:, 1280:], SampleFormat.FLOAT_LE)]
+            hdr, out = _audio_client(srv.port, 2, 44100, frames)
+            assert hdr["ok"]
+            results[i] = fmops.decode(out, SampleFormat.FLOAT_LE, 2)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append((i, e))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(120)
+        assert not errors, errors
+        for i in range(n_clients):
+            y = results[i]
+            assert y is not None and y.shape == (2, 256 * 5)  # 1440//256
+            ref = np.stack([signal.fftconvolve(signals[i][c], h[c])[: y.shape[1]]
+                            for c in range(2)])
+            assert np.abs(y - ref).max() < 1e-5
+    finally:
+        srv.stop()
+
+
+def test_audio_server_pipelined_frames_in_flight(tmp_path):
+    """The decoupled data plane: a client may send MANY frames before
+    reading any reply (bounded in-flight queue; TCP backpressure past it)
+    and still gets every reply, in order, numerically correct."""
+    import json
+    import socket
+    import struct
+
+    import numpy as np
+    from scipy import signal
+
+    from bfir_tpu.cli.audio_server import AudioServer
+    from bfir_tpu.io import wavio
+    from bfir_tpu.ops import formats as fmops
+
+    rng = np.random.default_rng(72)
+    h = rng.standard_normal((2, 400)) * 0.1
+    p = str(tmp_path / "ir.wav")
+    wavio.write(p, h.T, 44100, subtype="float64")
+    cfg = _cfg_with_impulse(p, block=256)
+    srv = AudioServer(cfg, host="127.0.0.1", port=0)
+    srv.start()
+    try:
+        nframes = 24
+        x = rng.standard_normal((2, 256 * nframes))
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall((json.dumps({"channels": 2, "sample_rate": 44100,
+                               "in_format": "float_le",
+                               "out_format": "float_le"}) + "\n").encode())
+        f = s.makefile("rb")
+        hdr = json.loads(f.readline().decode())
+        assert hdr["ok"] and hdr.get("max_inflight", 0) >= 4
+        # fire every frame (plus the flush) before reading a single reply
+        for i in range(nframes):
+            raw = fmops.encode_float(x[:, i * 256:(i + 1) * 256],
+                                     SampleFormat.FLOAT_LE)
+            s.sendall(struct.pack("<I", len(raw)) + raw)
+        s.sendall(struct.pack("<I", 0))
+        chunks = []
+        for _ in range(nframes + 1):
+            (n,) = struct.unpack("<I", f.read(4))
+            chunks.append(f.read(n))
+        s.close()
+        y = fmops.decode(b"".join(chunks), SampleFormat.FLOAT_LE, 2)
+        assert y.shape == (2, 256 * nframes)
+        ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]]
+                        for c in range(2)])
+        assert np.abs(y - ref).max() < 1e-5
+    finally:
+        srv.stop()

@@ -661,3 +661,132 @@ def test_nu_tail_fused_inverse_path():
     ref = _scipy_ref(h.astype(np.float64), x.astype(np.float64), y.shape[1])
     snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
     assert snr > 100, snr
+
+
+# -- split-tail schedule (VERDICT r4 next #4) --------------------------------
+
+
+def _split_setup(seed=80, ratio=2, p_tail=3, n=128, dtype="float32"):
+    rng = np.random.default_rng(seed)
+    spec = NU.NuSpec(block_length=n, ratio=ratio, p_head=2 * ratio,
+                     p_tail=p_tail, dtype=dtype)
+    c = 3
+    h = (rng.standard_normal((c, spec.max_taps - 11)) * 0.1).astype(dtype)
+    co = NU.nu_coeffs(h, spec, c)
+    return rng, spec, c, h, co
+
+
+@pytest.mark.parametrize("ratio,p_tail", [(2, 3), (4, 2)])
+def test_split_tail_matches_step_nu(ratio, p_tail):
+    """step_nu_split == step_nu, block for block, through several full
+    cycles (so the delayed-append queue and warm-up are exercised)."""
+    rng, spec, c, h, co = _split_setup(81, ratio, p_tail)
+    st_a = NU.init_nu_state(spec, c)
+    st_b = NU.init_nu_split_state(spec, c)
+    nblocks = (spec.delay_blocks + 3) * spec.ratio + 1
+    x = rng.standard_normal((c, nblocks * spec.block_length)).astype(np.float32)
+    n = spec.block_length
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st_a, ya = NU.step_nu(st_a, co, blk, use_pallas=False)
+        st_b, yb = NU.step_nu_split(st_b, co, blk, use_pallas=False)
+        scale = max(1.0, float(np.abs(np.asarray(ya)).max()))
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=1e-6 * scale, err_msg=f"block {b}")
+
+
+def test_split_tail_matches_scipy_f64():
+    """Absolute check at float64 (CPU x64): the split schedule is the same
+    convolution."""
+    from scipy import signal
+
+    rng, spec, c, h, co = _split_setup(82, dtype="float64")
+    st = NU.init_nu_split_state(spec, c)
+    nblocks = (spec.delay_blocks + 3) * spec.ratio
+    n = spec.block_length
+    x = rng.standard_normal((c, nblocks * n))
+    outs = []
+    for b in range(nblocks):
+        st, y = NU.step_nu_split(st, co, x[:, b * n:(b + 1) * n],
+                                 use_pallas=False)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=1)
+    ref = signal.fftconvolve(x, h, axes=1)[:, : y.shape[1]]
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 200, snr
+
+
+def test_split_tail_scan_matches_steps():
+    """process_blocks_nu_split (static-phase scan) == per-block switch
+    steps, bit for bit, and the state threads across the boundary."""
+    rng, spec, c, h, co = _split_setup(83)
+    n = spec.block_length
+    nblocks = 2 * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    blocks = jnp.asarray(x.reshape(c, nblocks, n).transpose(1, 0, 2))
+    st_s, ys = NU.process_blocks_nu_split(NU.init_nu_split_state(spec, c),
+                                          co, blocks, use_pallas=False)
+    st_p = NU.init_nu_split_state(spec, c)
+    refs = []
+    for b in range(nblocks):
+        st_p, y = NU.step_nu_split(st_p, co, x[:, b * n:(b + 1) * n],
+                                   use_pallas=False)
+        refs.append(np.asarray(y))
+    np.testing.assert_array_equal(np.asarray(ys), np.stack(refs))
+    blk = rng.standard_normal((c, n)).astype(np.float32)
+    _, oa = NU.step_nu_split(st_s, co, blk, use_pallas=False)
+    _, ob = NU.step_nu_split(st_p, co, blk, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_mac_band_kernel_matches_reference():
+    """mac_pallas_hc_band (interpret mode) == the banded jnp reference ==
+    the full tiled MAC restricted to the band, incl. the DC fixup in
+    band 0."""
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    rng = np.random.default_rng(84)
+    p, c, hp = 5, 3, 512
+    ring = jnp.asarray(rng.standard_normal((p, 2 * c, hp)).astype(np.float32))
+    coeff = jnp.asarray(rng.standard_normal((p, 2 * c, hp)).astype(np.float32))
+    pos = jnp.asarray(3, jnp.int32)
+    full_r, full_i = K.mac_reference_hc(ring[:, :c], ring[:, c:],
+                                        coeff[:, :c], coeff[:, c:], pos)
+    for band, blen in ((0, 128), (1, 128), (3, 128), (0, 256), (1, 256)):
+        br, bi = K.mac_pallas_hc_band(ring, coeff, pos, band * blen, blen,
+                                      interpret=True)
+        rr, ri = K.mac_reference_hc_band(ring, coeff, pos, band * blen, blen)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(rr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ri), atol=1e-5)
+        sl = slice(band * blen, band * blen + blen)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(full_r[:, sl]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(full_i[:, sl]),
+                                   atol=1e-5)
+
+
+def test_split_tail_interpret_pallas_path():
+    """The Pallas kernel path (interpret mode) of the split schedule agrees
+    with step_nu's kernel path."""
+    rng, spec, c, h, co = _split_setup(85)
+    n = spec.block_length
+    st_a = NU.init_nu_state(spec, c)
+    st_b = NU.init_nu_split_state(spec, c)
+    nblocks = (spec.delay_blocks + 2) * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st_a, ya = NU.step_nu(st_a, co, blk, interpret=True, use_pallas=True)
+        st_b, yb = NU.step_nu_split(st_b, co, blk, interpret=True,
+                                    use_pallas=True)
+        scale = max(1.0, float(np.abs(np.asarray(ya)).max()))
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=1e-5 * scale, err_msg=f"block {b}")
+
+
+def test_split_band_len_validation():
+    with pytest.raises(ValueError, match="128-lane"):
+        NU.split_band_len(NU.NuSpec(block_length=8, ratio=2, p_head=4,
+                                    p_tail=2))
+    assert NU.split_band_len(NU.NuSpec(block_length=128, ratio=2, p_head=4,
+                                       p_tail=2)) == 128
