@@ -54,3 +54,4 @@ def test_two_process_distributed_sharded_step():
         assert "MULTIHOST_OK" in out, f"worker {pid} did not complete:\n{out}"
         assert "mesh 2x2 OK" in out and "mesh 1x4 OK" in out, out
         assert "mesh 2x2 hc OK" in out and "mesh 1x4 hc OK" in out, out
+        assert "mesh 2x2 nu OK" in out and "mesh 1x4 nu OK" in out, out

@@ -169,6 +169,7 @@ def _long_impulse(tmp_path, rng, block=128, tail_parts=3):
     return save_impulse(tmp_path, "irlong.wav", imp), imp
 
 
+@pytest.mark.xdist_group(name="sharded-session")
 def test_sharded_session_nonuniform_local(cache, tmp_path):
     """engine_mode="sharded" composes with long filters (VERDICT r3 next #1):
     sharded_local="nonuniform" activates the sharded two-stage engine behind
@@ -215,6 +216,7 @@ def test_sharded_session_nonuniform_local(cache, tmp_path):
     assert snr2 > 100, snr2
 
 
+@pytest.mark.xdist_group(name="sharded-session")
 def test_sharded_session_nu_selfcheck_fallback_to_uniform(cache, tmp_path,
                                                           monkeypatch):
     """A refused sharded-nu graph falls back to the UNIFORM sharded engine
@@ -252,6 +254,7 @@ def test_sharded_session_nu_selfcheck_fallback_to_uniform(cache, tmp_path,
     assert snr > 100, snr
 
 
+@pytest.mark.xdist_group(name="sharded-session")
 def test_sharded_session_nonuniform3_local(cache, tmp_path):
     """sharded_local="nonuniform3" activates the sharded three-stage engine
     behind the StreamProcessor surface (the very-long-filter pod tier,
