@@ -647,3 +647,98 @@ def test_rf64_and_w64_read_natively(tmp_path):
     assert rate == 44100
     np.testing.assert_allclose(got, a, atol=1e-7)
     assert sndio.read_info(pw).n_frames == 48
+
+
+# -- Ogg/Vorbis via system libvorbis (io/oggvorbis.py, VERDICT r4 #3) --------
+
+
+def _vorbis_available():
+    from bfir_tpu.io import oggvorbis
+
+    return oggvorbis.available()
+
+
+@pytest.mark.skipif(not _vorbis_available(),
+                    reason="system libvorbis not present")
+def test_ogg_vorbis_roundtrip_mono(tmp_path):
+    """write_vorbis -> read_vorbis on a mono tone: correct geometry and a
+    high-quality lossy roundtrip (scale ~1, residual bounded)."""
+    from bfir_tpu.io import oggvorbis as OV
+
+    t = np.arange(22050) / 44100
+    x = (0.5 * np.sin(2 * np.pi * 1000 * t))[:, None]
+    p = str(tmp_path / "tone.ogg")
+    OV.write_vorbis(p, x, 44100, quality=0.9)
+    y, rate = OV.read_vorbis(p)
+    assert rate == 44100 and y.shape == x.shape
+    a, b = x[1000:-1000, 0], y[1000:-1000, 0]
+    sc = float(np.dot(a, b) / np.dot(a, a))
+    res = b - a * sc
+    snr = 10 * np.log10(np.dot(a, a) * sc * sc / np.dot(res, res))
+    assert 0.95 < sc < 1.05 and snr > 35, (sc, snr)
+
+
+@pytest.mark.skipif(not _vorbis_available(),
+                    reason="system libvorbis not present")
+def test_sndio_routes_ogg_to_native_vorbis(tmp_path, monkeypatch):
+    """sndio.read/read_info decode SF_FORMAT_OGG through the libvorbis
+    binding WITHOUT the optional soundfile package present."""
+    import builtins
+
+    from bfir_tpu.io import oggvorbis as OV
+
+    real_import = builtins.__import__
+
+    def no_soundfile(nm, *a, **k):
+        if nm == "soundfile":
+            raise ImportError("absent")
+        return real_import(nm, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_soundfile)
+    t = np.arange(8192) / 44100
+    x = np.stack([0.4 * np.sin(2 * np.pi * 440 * t),
+                  0.4 * np.sin(2 * np.pi * 440 * t)], axis=1)
+    p = str(tmp_path / "s.ogg")
+    OV.write_vorbis(p, x, 44100, quality=0.8)
+    audio, rate = sndio.read(p)
+    assert rate == 44100 and audio.shape[1] == 2
+    info = sndio.read_info(p)
+    assert info.format == "ogg/vorbis"
+    assert info.n_frames == audio.shape[0]
+
+
+@pytest.mark.skipif(not _vorbis_available(),
+                    reason="system libvorbis not present")
+def test_ogg_impulse_loads_into_chain(tmp_path):
+    """An Ogg/Vorbis impulse file works end to end as a chain impulse
+    (coeffio -> sndio -> libvorbis), like any WAV."""
+    from bfir_tpu.io import oggvorbis as OV
+    from bfir_tpu.io.coeffio import load_sound
+
+    rng = np.random.default_rng(0)
+    # a smooth band-limited impulse survives lossy coding well enough to
+    # verify the PLUMBING (numerical filter quality is the codec's domain)
+    imp = np.cumsum(rng.standard_normal((2048, 1)), axis=0)
+    imp = (imp - imp.mean()) / np.abs(imp).max() * 0.7
+    p = str(tmp_path / "ir.ogg")
+    OV.write_vorbis(p, imp, 44100, quality=0.9)
+    h = load_sound(p)
+    assert h.shape == (1, 2048)
+
+
+def test_vorbis_unavailable_error_message(monkeypatch):
+    from bfir_tpu.io import oggvorbis as OV
+
+    monkeypatch.setattr(OV, "_libs", None)
+    monkeypatch.setattr(OV.ctypes.util, "find_library", lambda n: None)
+
+    class BoomDLL:
+        def __init__(self, *a, **k):
+            raise OSError("no lib")
+
+    monkeypatch.setattr(OV.ctypes, "CDLL", BoomDLL)
+    with pytest.raises(OV.VorbisUnavailable, match="libogg"):
+        OV._load_libs()
+    monkeypatch.setattr(OV, "_libs", None)
+    assert OV.available() is False
+    monkeypatch.setattr(OV, "_libs", None)
