@@ -316,7 +316,42 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
                 f"{BLOCK*CHANNELS/shared_floor/1e6:.0f} M samples/s")
     except Exception as e:
         log(f"nu shared measurement failed ({type(e).__name__}: {e})")
-    return sps, floor, s, shared_floor, shared_snr
+
+    # INT24 block-scaled tail storage (r5: benchmarks/storage_snr.py — the
+    # cheapest storage tier keeping >=125 dB; 25% less tail MAC traffic).
+    # Absolute scipy verification first, then the same differential floor.
+    i24_floor = None
+    i24_snr = None
+    try:
+        spec_i = NU.NuSpec(spec.block_length, spec.ratio, spec.p_head,
+                           spec.p_tail, spec.dtype, "int24")
+        co_i = NU.nu_coeffs(hh, spec_i, CHANNELS)
+        st = NU.init_nu_state(spec_i, CHANNELS)
+        st, out = scan(st, co_i, blocks)
+        y = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+        i24_snr = worst_channel_snr(y, ref)
+        log(f"nu INT24 worst-channel SNR vs scipy: {i24_snr:.1f} dB")
+        if i24_snr >= 80:
+            fl = {k1: [], k2: []}
+            st3 = NU.init_nu_state(spec_i, CHANNELS)
+            for kk in (k1, k2):
+                t0 = time.time()
+                st3, o = scan(st3, co_i, pools[kk][0])
+                float(jnp.sum(o))
+                log(f"nu-int24 compile (K={kk}): {time.time()-t0:.1f}s")
+            for _round in range(2):
+                for kk in (k1, k2):
+                    for i in range(max(4, n_iters // 3)):
+                        t0 = time.time()
+                        st3, o = scan(st3, co_i, pools[kk][i % 2])
+                        float(jnp.sum(o))
+                        fl[kk].append(time.time() - t0)
+            i24_floor = max((min(fl[k2]) - min(fl[k1])) / (k2 - k1), 1e-9)
+            log(f"nu INT24 device floor: {i24_floor*1e3:.3f} ms/block -> "
+                f"{BLOCK*CHANNELS/i24_floor/1e6:.0f} M samples/s")
+    except Exception as e:
+        log(f"nu int24 measurement failed ({type(e).__name__}: {e})")
+    return (sps, floor, s, shared_floor, shared_snr, i24_floor, i24_snr)
 
 
 def bench_bulk(h, jnp, jax, n_iters):
@@ -854,10 +889,12 @@ def _run_path(which: str):
         res["backend"] = backend
         print(json.dumps(res))
     elif which == "nustream":
-        sps, floor, s, sh_floor, sh_snr = bench_streaming_nu(
-            h, jnp, jax, n_iters=5 if on_cpu else 40)
+        (sps, floor, s, sh_floor, sh_snr, i24_floor,
+         i24_snr) = bench_streaming_nu(h, jnp, jax,
+                                       n_iters=5 if on_cpu else 40)
         print(json.dumps({"sps": sps, "floor": floor, "snr": s,
                           "shared_floor": sh_floor, "shared_snr": sh_snr,
+                          "int24_floor": i24_floor, "int24_snr": i24_snr,
                           "backend": backend}))
     else:
         sps, p50, p99, rt_ms, floor, s = bench_streaming(

@@ -79,18 +79,23 @@ class NuSpec:
     p_head: int = 16
     p_tail: int = 14
     dtype: str = "float32"
-    # storage dtype for the TAIL stage's ring + coefficient planes.
-    # "bfloat16" halves the tail's HBM traffic (the dominant term of the
-    # two-stage budget); the MAC still accumulates in f32. Precision class:
-    # the *tail* contribution carries ~56 dB SNR, so total output SNR is
-    # 56 dB + the tail's energy deficit (e.g. ~63 dB for a -7 dB-energy
-    # reverb tail) — an opt-in fast mode, not the default
+    # storage dtype for the TAIL stage's ring + coefficient planes; the
+    # MAC always accumulates in f32 — only the stored/streamed bytes
+    # change. Tiers (measured frontier: benchmarks/storage_snr.py):
+    #   "float32"  4 B/elem, full precision (default)
+    #   "int24"    3 B/elem (int16+int8+per-row scale), ~134 dB MAC SNR —
+    #              the cheapest storage keeping >= 125 dB; -25% MAC traffic
+    #   "int16"    2 B/elem, ~86 dB — the halved-traffic point (>=125 dB at
+    #              2 B/elem is not physically reachable; see the artifact)
+    #   "bfloat16" 2 B/elem, ~56 dB + the tail's energy deficit — the
+    #              legacy fast tier, dominated by int16 at equal bytes
     tail_store: str = "float32"
 
     def __post_init__(self):
-        if self.tail_store not in ("float32", "bfloat16"):
+        if self.tail_store not in ("float32", "bfloat16", "int16", "int24"):
             raise ValueError(
-                f"tail_store must be float32 or bfloat16, got {self.tail_store!r}")
+                "tail_store must be float32/bfloat16/int16/int24, "
+                f"got {self.tail_store!r}")
         if self.ratio < 2 or (self.ratio & (self.ratio - 1)):
             raise ValueError(f"ratio must be a power of two >= 2, got {self.ratio}")
         if self.p_head % self.ratio:
@@ -133,7 +138,8 @@ class NuSpec:
         the number the uniform engine pays P/(p_head + p_tail/R) times
         over."""
         it = jnp.dtype(self.dtype).itemsize
-        it_tail = jnp.dtype(self.tail_store).itemsize
+        it_tail = {"float32": 4, "bfloat16": 2, "int16": 2,
+                   "int24": 3}[self.tail_store]
         head = 2 * self.p_head * 2 * self.block_length * it
         tail = 2 * self.p_tail * 2 * self.m * it_tail // self.ratio
         return (head + tail)  # per channel
@@ -167,6 +173,13 @@ def init_nu_state(spec: NuSpec, n_channels: int) -> NuState:
     tail = K.init_hc_state(spec.tail_spec, n_channels)
     if spec.tail_store == "bfloat16":
         tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))
+    elif spec.tail_store in ("int16", "int24"):
+        p, c2, hp = tail.ring.shape
+        tail = tail._replace(ring=K.IntPlanes(
+            hi=jnp.zeros((p, c2, hp), jnp.int16),
+            lo=(jnp.zeros((p, c2, hp), jnp.uint8)
+                if spec.tail_store == "int24" else None),
+            scale=jnp.full((p, c2, 128), 1e-30, jnp.float32)))
     return NuState(
         head=K.init_hc_state(spec.head_spec, n_channels),
         tail=tail,
@@ -204,6 +217,9 @@ def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
                        shared=shared)
     if spec.tail_store == "bfloat16":
         tail = tail.astype(jnp.bfloat16)
+    elif spec.tail_store in ("int16", "int24"):
+        tail = K.quantize_planes(tail, 24 if spec.tail_store == "int24"
+                                 else 16)
     return NuCoeffs(
         head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise,
                          shared=shared),
@@ -215,7 +231,15 @@ def _tail_mac(ring, coeff, pos, use_pallas: bool, interpret: bool,
               tile: int = 2048):
     """Tail-stage MAC: freq-tiled Pallas kernel (the untiled kernel's
     whole-plane VMEM blocks overflow at Hp = ratio*N/... = 8192) or the jnp
-    reference on CPU."""
+    reference on CPU. Block-scaled integer planes (IntPlanes — the
+    int24/int16 storage tiers) take the in-kernel-decode variant."""
+    if isinstance(ring, K.IntPlanes):
+        if use_pallas:
+            hp = ring.hi.shape[-1]
+            return K.mac_pallas_hc_tiled_int(ring, coeff, pos,
+                                             tile=min(tile, hp),
+                                             interpret=interpret)
+        return K.mac_reference_hc_int(ring, coeff, pos)
     c = ring.shape[1] // 2
     if use_pallas:
         hp = ring.shape[-1]
@@ -250,19 +274,39 @@ def _tail_inverse(yr, yi, m: int, use_pallas: bool, interpret: bool):
     return F.irfft_split_hc(yr, yi, n=2 * m)[..., m:]
 
 
+def _ring_shape(ring):
+    """Shape of a tail ring in either representation."""
+    return ring.hi.shape if isinstance(ring, K.IntPlanes) else ring.shape
+
+
+def _ring_insert(ring, xpk, pos):
+    """Insert the new packed spectrum [2C, Hp] at slot ``pos`` — f32/bf16
+    rings store it directly; int-stored rings quantize the slot's rows
+    (per-row block scale) and update the hi/lo/scale planes."""
+    zero = jnp.zeros((), dtype=pos.dtype)
+    if not isinstance(ring, K.IntPlanes):
+        return jax.lax.dynamic_update_slice(
+            ring, xpk[None].astype(ring.dtype), (pos, zero, zero))
+    q = K.quantize_planes(xpk, 16 if ring.lo is None else 24)
+    hi = jax.lax.dynamic_update_slice(ring.hi, q.hi[None], (pos, zero, zero))
+    lo = (None if ring.lo is None else jax.lax.dynamic_update_slice(
+        ring.lo, q.lo[None], (pos, zero, zero)))
+    scale = jax.lax.dynamic_update_slice(ring.scale, q.scale[None],
+                                         (pos, zero, zero))
+    return K.IntPlanes(hi=hi, lo=lo, scale=scale)
+
+
 def _tail_step(state: K.HcState, coeff_pk, mblock, use_pallas, interpret):
     """One overlap-save step of the tail engine on an M-block. Same math as
     kernels.spectrum_mac.step_hc but with the tiled MAC and the four-step
     inverse (+ slice) instead of the direct tail basis: at M = 8192 the
     [Hp, Hp] half-DFT tail basis would be a 256 MB operand — far more
     traffic than the four-step chain it replaces."""
-    p, c2, hp = state.ring.shape
+    p, c2, hp = _ring_shape(state.ring)
     m = mblock.shape[-1]
     mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
     pos = jnp.mod(state.blockcounter, p)
-    zero = jnp.zeros((), dtype=pos.dtype)
-    ring = jax.lax.dynamic_update_slice(
-        state.ring, xpk[None].astype(state.ring.dtype), (pos, zero, zero))
+    ring = _ring_insert(state.ring, xpk, pos)
     yr, yi = _tail_mac(ring, coeff_pk, pos, use_pallas, interpret)
     out = _tail_inverse(yr, yi, m, use_pallas, interpret)
     return K.HcState(ring, mblock, state.blockcounter + 1), out
@@ -340,13 +384,11 @@ def _tail_step2(state: K.HcState, coeff_a, coeff_b, mblock, use_pallas,
                 interpret):
     """Tail step with ONE ring advance and TWO coefficient MACs — the
     transition fire of a live filter change (see step_nu_crossfade)."""
-    p, c2, hp = state.ring.shape
+    p, c2, hp = _ring_shape(state.ring)
     m = mblock.shape[-1]
     mblock, xpk = K._hc_frame_spectrum(state, mblock, hp)
     pos = jnp.mod(state.blockcounter, p)
-    zero = jnp.zeros((), dtype=pos.dtype)
-    ring = jax.lax.dynamic_update_slice(
-        state.ring, xpk[None].astype(state.ring.dtype), (pos, zero, zero))
+    ring = _ring_insert(state.ring, xpk, pos)
     ya = _tail_mac(ring, coeff_a, pos, use_pallas, interpret)
     yb = _tail_mac(ring, coeff_b, pos, use_pallas, interpret)
     za = _tail_inverse(ya[0], ya[1], m, use_pallas, interpret)
@@ -568,6 +610,10 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
     dt = jnp.dtype(spec.dtype)
     hp_t = -(-spec.m // 128) * 128
     split_band_len(spec)  # geometry check
+    if spec.tail_store in ("int16", "int24"):
+        raise ValueError(
+            "split-tail schedule does not support integer tail storage yet "
+            "(the banded MAC kernel streams float planes); use step_nu")
     tail = K.init_hc_state(spec.tail_spec, n_channels)
     if spec.tail_store == "bfloat16":
         tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))

@@ -336,11 +336,13 @@ class EngineConfig:
     # compilation cache it covers Pallas/Mosaic kernels, skipping their
     # cold compile on session re-opens)
     use_wisdom: bool = True
-    # tail-stage storage dtype for the nonuniform engine: "bfloat16" halves
-    # the tail's HBM traffic (MAC still accumulates f32) at a documented
-    # precision cost — the tail contribution carries ~56 dB SNR, so total
-    # output SNR is ~56 dB + the tail's energy deficit (core/nonuniform.py
-    # NuSpec.tail_store). Opt-in fast mode; ignored by other engine modes.
+    # tail-stage storage for the nonuniform engine (MAC still accumulates
+    # f32; only streamed bytes change). "int24" (3 B/elem, ~134 dB MAC SNR)
+    # is the quality-preserving fast tier; "int16" (2 B/elem, ~86 dB) the
+    # halved-traffic point; "bfloat16" the legacy ~56 dB tier. Measured
+    # frontier: benchmarks/storage_snr.py; core/nonuniform.NuSpec.tail_store.
+    # Opt-in; ignored by other engine modes; the sharded engines support
+    # float32/bfloat16 only.
     nu_tail_store: str = "float32"
     # shard-local compute of engine_mode="sharded": "auto" picks the
     # three-stage engine for very long filters (>= 640 partitions, the
@@ -357,9 +359,11 @@ class EngineConfig:
             raise ValueError(
                 "engine_mode must be auto/complex/packed/hc/nonuniform/"
                 f"nonuniform3/extended/sharded, got {self.engine_mode!r}")
-        if self.nu_tail_store not in ("float32", "bfloat16"):
+        if self.nu_tail_store not in ("float32", "bfloat16", "int16",
+                                      "int24"):
             raise ValueError(
-                f"nu_tail_store must be float32 or bfloat16, got {self.nu_tail_store!r}")
+                "nu_tail_store must be float32/bfloat16/int16/int24, "
+                f"got {self.nu_tail_store!r}")
         if self.sharded_local not in ("auto", "uniform", "nonuniform",
                                       "nonuniform3"):
             raise ValueError(

@@ -679,6 +679,192 @@ def mac_pallas_hc_band(ring_pk, coeff_pk, pos, band_start: int,
     return yr, yi
 
 
+# ---------------------------------------------------------------------------
+# Block-scaled integer plane storage (VERDICT r4 next #1 — the measured
+# storage-precision frontier, benchmarks/storage_snr.py):
+#
+#   int24 (int16 hi + int8 lo + per-row f32 scale, 3 B/elem): ~134 dB MAC
+#         SNR — the cheapest scheme that keeps >=125 dB; 25% less MAC HBM
+#         traffic than f32.
+#   int16 (int16 + per-row scale, 2 B/elem): ~86 dB — the halved-traffic
+#         point; >=125 dB at 2 B/elem is not physically reachable (the
+#         spectra's in-row dynamic range eats ~10 dB of any 16-bit format,
+#         and two-plane bf16 both costs full f32 bytes AND caps at ~109 dB).
+#
+# Planes quantize per ROW (one (partition, re/im-channel) spectrum row):
+# q = round(a/s) with s = rowmax/qmax; int24 splits q into an arithmetic
+# high int16 (q >> 8) and an unsigned low byte (q & 255), so
+# hi*256 + lo reconstructs exactly, and |q| <= 2^23-1 converts to f32
+# exactly. Scales ride along pre-broadcast to [ , 128] lanes (tiny) so the
+# kernel reads them as ordinary lane-aligned blocks. Accumulation stays
+# f32 — only the stored bytes shrink (same philosophy as the bf16 tier).
+# ---------------------------------------------------------------------------
+
+from typing import Optional  # noqa: E402
+
+
+class IntPlanes(NamedTuple):
+    """Block-scaled integer spectra: ``hi`` int16 [..., H], ``lo`` uint8
+    [..., H] (None for the int16 tier), ``scale`` f32 [..., 128]
+    (per-row value broadcast along 128 lanes for aligned kernel loads)."""
+
+    hi: jax.Array
+    lo: Optional[jax.Array]
+    scale: jax.Array
+
+
+_I24_MAX = float(2 ** 23 - 1)
+_I16_MAX = 32767.0
+
+
+def quantize_planes(planes: jax.Array, bits: int) -> IntPlanes:
+    """Quantize f32 planes [..., H] to the int24/int16 block-scaled form."""
+    if bits not in (16, 24):
+        raise ValueError(f"bits must be 16 or 24, got {bits}")
+    qmax = _I24_MAX if bits == 24 else _I16_MAX
+    planes = planes.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(planes), axis=-1, keepdims=True) / qmax,
+                    jnp.float32(1e-30))
+    q = jnp.clip(jnp.round(planes / s), -qmax, qmax).astype(jnp.int32)
+    scale = jnp.broadcast_to(s, (*s.shape[:-1], 128))
+    if bits == 16:
+        return IntPlanes(hi=q.astype(jnp.int16), lo=None, scale=scale)
+    return IntPlanes(hi=jnp.right_shift(q, 8).astype(jnp.int16),
+                     lo=jnp.bitwise_and(q, 255).astype(jnp.uint8),
+                     scale=scale)
+
+
+def dequantize_planes(ip: IntPlanes) -> jax.Array:
+    """Inverse of ``quantize_planes`` (tests / jnp reference path)."""
+    if ip.lo is None:
+        q = ip.hi.astype(jnp.float32)
+    else:
+        q = (ip.hi.astype(jnp.int32) * 256
+             + ip.lo.astype(jnp.int32)).astype(jnp.float32)
+    return q * ip.scale[..., :1]
+
+
+def mac_reference_hc_int(ring: IntPlanes, coeff: IntPlanes, pos):
+    """jnp reference of the int-stored halfcomplex MAC (CPU path/tests):
+    decode then the standard reference MAC, f32 accumulation."""
+    rp = dequantize_planes(ring)
+    cp = dequantize_planes(coeff)
+    c = rp.shape[1] // 2
+    cs = cp.shape[1] // 2
+    return mac_reference_hc(rp[:, :c], rp[:, c:], cp[:, :cs], cp[:, cs:], pos)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def mac_pallas_hc_tiled_int(ring: IntPlanes, coeff: IntPlanes, pos,
+                            tile: int = 2048, interpret: bool = False):
+    """``mac_pallas_hc_tiled`` on block-scaled integer planes: the ring and
+    coefficient spectra stream from HBM as int16(+int8) and decode on the
+    VPU inside the kernel (shift/or, int->f32 convert, one scale multiply
+    per operand) — 25% (int24) or 50% (int16) less MAC HBM traffic, f32
+    accumulation unchanged. Supports the shared-coefficient form (coeff
+    second dim 2 instead of 2C). Returns (yr, yi) [C, Hp] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring.hi.shape
+    c = c2 // 2
+    cs = coeff.hi.shape[1] // 2
+    i24_r = ring.lo is not None
+    i24_c = coeff.lo is not None
+    if hp % tile:
+        raise ValueError(f"freq tile {tile} must divide Hp {hp}")
+    nf = hp // tile
+
+    def kernel(pos_ref, *refs):
+        # refs order: ring hi[, lo], ring scale, coeff hi[, lo],
+        #             coeff scale, yr, yi
+        it = iter(refs)
+        r_hi = next(it)
+        r_lo = next(it) if i24_r else None
+        r_s = next(it)
+        g_hi = next(it)
+        g_lo = next(it) if i24_c else None
+        g_s = next(it)
+        yr, yi = next(it), next(it)
+        f = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def dec(hi_ref, lo_ref, s_ref, rows):
+            q = hi_ref[0].astype(jnp.int32) * 256 if lo_ref is not None \
+                else hi_ref[0].astype(jnp.int32)
+            if lo_ref is not None:
+                q = q + lo_ref[0].astype(jnp.int32)
+            return q.astype(jnp.float32) * s_ref[0][:, :1]
+
+        r = dec(r_hi, r_lo, r_s, c2)
+        g = dec(g_hi, g_lo, g_s, 2 * cs)
+        rr, ri = r[:c, :], r[c:, :]
+        cr, ci = g[:cs, :], g[cs:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        dc = jnp.logical_and(
+            f == 0, jax.lax.broadcasted_iota(jnp.int32, (c, tile), 1) == 0)
+        a_r = jnp.where(dc, p1, p1 - p2)
+        a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    def ring_map(f, i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, f)
+
+    def coeff_map(f, i, pos_ref):
+        return (i, 0, f)
+
+    def s_ring_map(f, i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def s_coeff_map(f, i, pos_ref):
+        return (i, 0, 0)
+
+    in_specs = [pl.BlockSpec((1, c2, tile), ring_map)]
+    args = [ring.hi]
+    if i24_r:
+        in_specs.append(pl.BlockSpec((1, c2, tile), ring_map))
+        args.append(ring.lo)
+    in_specs.append(pl.BlockSpec((1, c2, 128), s_ring_map))
+    args.append(ring.scale)
+    in_specs.append(pl.BlockSpec((1, 2 * cs, tile), coeff_map))
+    args.append(coeff.hi)
+    if i24_c:
+        in_specs.append(pl.BlockSpec((1, 2 * cs, tile), coeff_map))
+        args.append(coeff.lo)
+    in_specs.append(pl.BlockSpec((1, 2 * cs, 128), s_coeff_map))
+    args.append(coeff.scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nf, p),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((c, tile), lambda f, i, pos_ref: (0, f)),
+            pl.BlockSpec((c, tile), lambda f, i, pos_ref: (0, f)),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, hp), jnp.float32),
+            jax.ShapeDtypeStruct((c, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), *args)
+    return yr, yi
+
+
 def mac_reference_hc_band(ring_pk, coeff_pk, pos, band_start: int,
                           band_len: int):
     """jnp reference of ``mac_pallas_hc_band`` (CPU path / tests)."""

@@ -962,6 +962,10 @@ class ShardedEngine:
             from bfir_tpu.core import nonuniform as NU
             from bfir_tpu.kernels import spectrum_mac as K
 
+            if nu_tail_store in ("int16", "int24"):
+                raise ValueError(
+                    "integer tail storage is single-chip only for now "
+                    "(sharded engines support float32/bfloat16)")
             p_shards = mesh.shape["p"]
             if nuspec is None:
                 nuspec = NU.nu3_geometry(

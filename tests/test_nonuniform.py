@@ -790,3 +790,138 @@ def test_split_band_len_validation():
                                     p_tail=2))
     assert NU.split_band_len(NU.NuSpec(block_length=128, ratio=2, p_head=4,
                                        p_tail=2)) == 128
+
+
+# -- block-scaled integer storage tiers (VERDICT r4 next #1) -----------------
+
+
+def test_quantize_planes_roundtrip():
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    rng = np.random.default_rng(90)
+    a = jnp.asarray((rng.standard_normal((3, 4, 256))
+                     * 10.0 ** rng.uniform(-6, 2, (3, 4, 1))).astype(np.float32))
+    for bits, rel in ((24, 3e-7), (16, 1e-4)):
+        q = K.quantize_planes(a, bits)
+        assert q.scale.shape == (3, 4, 128)
+        if bits == 24:
+            assert q.hi.dtype == jnp.int16 and q.lo.dtype == jnp.uint8
+        else:
+            assert q.lo is None
+        back = K.dequantize_planes(q)
+        rowmax = np.abs(np.asarray(a)).max(axis=-1, keepdims=True)
+        err = np.abs(np.asarray(back) - np.asarray(a)) / rowmax
+        assert err.max() < rel, (bits, err.max())
+
+
+def test_int_mac_kernel_matches_reference():
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    rng = np.random.default_rng(91)
+    p, c, hp = 5, 3, 512
+    ring = jnp.asarray(rng.standard_normal((p, 2 * c, hp)).astype(np.float32))
+    coeff = jnp.asarray(rng.standard_normal((p, 2 * c, hp)).astype(np.float32))
+    pos = jnp.asarray(3, jnp.int32)
+    for bits in (24, 16):
+        rq = K.quantize_planes(ring, bits)
+        cq = K.quantize_planes(coeff, bits)
+        jr, ji = K.mac_reference_hc_int(rq, cq, pos)
+        kr, ki = K.mac_pallas_hc_tiled_int(rq, cq, pos, tile=128,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(kr), np.asarray(jr), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ki), np.asarray(ji), atol=1e-4)
+    # shared-coefficient form ([P, 2, Hp])
+    cq1 = K.quantize_planes(coeff[:, [0, c]], 24)
+    rq = K.quantize_planes(ring, 24)
+    kr, ki = K.mac_pallas_hc_tiled_int(rq, cq1, pos, tile=128, interpret=True)
+    jr, ji = K.mac_reference_hc_int(rq, cq1, pos)
+    np.testing.assert_allclose(np.asarray(kr), np.asarray(jr), atol=1e-4)
+
+
+@pytest.mark.parametrize("store,min_snr,max_snr", [
+    ("int24", 115.0, 200.0),
+    ("int16", 80.0, 110.0),
+])
+def test_nu_int_tail_store_stream(store, min_snr, max_snr):
+    """step_nu with an integer-stored tail: SNR lands in the tier's
+    documented class (benchmarks/storage_snr.py), well above bfloat16's."""
+    from scipy import signal
+
+    rng = np.random.default_rng(92)
+    spec = NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=4,
+                     tail_store=store)
+    c = 3
+    h = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    co = NU.nu_coeffs(h, spec, c)
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    assert isinstance(co.tail, K.IntPlanes)
+    st = NU.init_nu_state(spec, c)
+    assert isinstance(st.tail.ring, K.IntPlanes)
+    n = spec.block_length
+    nblocks = (spec.delay_blocks + 3) * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    outs = []
+    for b in range(nblocks):
+        st, y = NU.step_nu(st, co, x[:, b * n:(b + 1) * n], use_pallas=False)
+        outs.append(np.asarray(y))
+    y = np.concatenate(outs, axis=1)
+    ref = signal.fftconvolve(x.astype(np.float64), h.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    snr = min(10 * np.log10(float((ref[ch]**2).sum())
+                            / float(((y[ch] - ref[ch])**2).sum()))
+              for ch in range(c))
+    assert min_snr < snr < max_snr, snr
+
+
+def test_nu_int_tail_macro_and_kernel_paths_agree():
+    """Macro scan (kernel path, interpret) == per-block steps (reference
+    path) on the int24 tier."""
+    rng = np.random.default_rng(93)
+    spec = NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
+                     tail_store="int24")
+    c = 2
+    h = (rng.standard_normal((c, spec.max_taps - 7)) * 0.1).astype(np.float32)
+    co = NU.nu_coeffs(h, spec, c)
+    n = spec.block_length
+    nblocks = 3 * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    blocks = jnp.asarray(x.reshape(c, nblocks, n).transpose(1, 0, 2))
+    st_m, ys = NU.process_blocks_nu_fast(NU.init_nu_state(spec, c), co,
+                                         blocks, interpret=True,
+                                         use_pallas=True)
+    st_p = NU.init_nu_state(spec, c)
+    refs = []
+    for b in range(nblocks):
+        st_p, y = NU.step_nu(st_p, co, x[:, b * n:(b + 1) * n],
+                             use_pallas=False)
+        refs.append(np.asarray(y))
+    np.testing.assert_allclose(np.asarray(ys), np.stack(refs), atol=2e-5)
+
+
+def test_nu_int_tail_crossfade_runs():
+    """The crossfade transition fire works on int-stored tails (one ring
+    advance, two int MACs)."""
+    rng = np.random.default_rng(94)
+    spec = NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
+                     tail_store="int16")
+    c = 2
+    h1 = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    h2 = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    co1, co2 = NU.nu_coeffs(h1, spec, c), NU.nu_coeffs(h2, spec, c)
+    st = NU.init_nu_state(spec, c)
+    n = spec.block_length
+    for b in range(2 * spec.ratio):
+        st, _ = NU.step_nu(st, co1, rng.standard_normal((c, n)).astype(np.float32),
+                           use_pallas=False)
+    st, y = NU.step_nu_crossfade(st, co1, co2,
+                                 rng.standard_normal((c, n)).astype(np.float32),
+                                 use_pallas=False)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_split_tail_rejects_int_store():
+    with pytest.raises(ValueError, match="integer tail"):
+        NU.init_nu_split_state(
+            NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
+                      tail_store="int24"), 2)
