@@ -317,14 +317,14 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
     except Exception as e:
         log(f"nu shared measurement failed ({type(e).__name__}: {e})")
 
-    # INT24 block-scaled tail storage (r5: benchmarks/storage_snr.py — the
-    # cheapest storage tier keeping >=125 dB; 25% less tail MAC traffic).
+    # INT24 block-scaled storage, BOTH stages (r5: benchmarks/storage_snr.py
+    # — the cheapest storage tier keeping >=125 dB; 25% less MAC traffic).
     # Absolute scipy verification first, then the same differential floor.
     i24_floor = None
     i24_snr = None
     try:
         spec_i = NU.NuSpec(spec.block_length, spec.ratio, spec.p_head,
-                           spec.p_tail, spec.dtype, "int24")
+                           spec.p_tail, spec.dtype, "int24", "int24")
         co_i = NU.nu_coeffs(hh, spec_i, CHANNELS)
         st = NU.init_nu_state(spec_i, CHANNELS)
         st, out = scan(st, co_i, blocks)

@@ -106,6 +106,50 @@ def child(n_devices: int):
                 and sorted(got["collective-permute"]) == sorted([head, tail])
                 and sorted(got["all-reduce"]) == sorted([head, tail])),
         ))
+
+        # three-stage engine (outer head + inner head + far, r5): one
+        # cp+ar pair per stage at its own cadence
+        r1 = r2 = 2
+        p_head3 = int(np.lcm(2 * r1, p_shards))
+        p_head3i = int(np.lcm(2 * r2, p_shards))
+        inner3 = NU.NuSpec(block_length=r1 * n, ratio=r2, p_head=p_head3i,
+                           p_tail=p_shards, dtype="float32")
+        spec3 = NU.Nu3Spec(block_length=n, ratio1=r1, p_head=p_head3,
+                           inner=inner3)
+        spec_f = FilterSpec(block_length=n,
+                            n_partitions=spec3.max_taps // n,
+                            dtype="float32")
+        eng3 = ShardedEngine(spec_f, c, mesh, local_impl="nonuniform3",
+                             nuspec=spec3)
+        h3 = rng.standard_normal((c, spec3.max_taps)).astype(np.float32) * 0.05
+        st = jax.eval_shape(eng3._init)
+        st = jax.tree_util.tree_map(
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            st, eng3._state_shardings)
+        co = eng3.prepare_coeffs(h3)
+        co = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=a.sharding), co)
+        block = jax.ShapeDtypeStruct((c, n), jnp.float32,
+                                     sharding=eng3._block_sharding)
+        txt = eng3._step.lower(st, co, block).compile().as_text()
+        got = _collective_bytes(txt)
+        hp_n = -(-n // 128) * 128
+        hp_m1 = -(-spec3.m1 // 128) * 128
+        hp_m2 = -(-spec3.inner.m // 128) * 128
+        sizes = [2 * (c // c_shards) * hp * 4 for hp in (hp_n, hp_m1, hp_m2)]
+        results.append(dict(
+            impl="nonuniform3", n_devices=n_devices,
+            mesh=[c_shards, p_shards], channels=c,
+            partitions=spec_f.n_partitions,
+            perm_bytes=got["collective-permute"],
+            psum_bytes=got["all-reduce"],
+            allgather=got["all-gather"],
+            model_bytes=sizes,
+            ok=(got["all-gather"] == []
+                and sorted(got["collective-permute"]) == sorted(sizes)
+                and sorted(got["all-reduce"]) == sorted(sizes)),
+        ))
     print(json.dumps(results))
 
 
@@ -129,7 +173,7 @@ def main():
     # the headline claim, machine-checked: per-device bytes constant in p
     # for fixed C/c (compare the same impl/c_shards across n_devices)
     const_ok = True
-    for impl in ("hc", "nonuniform"):
+    for impl in ("hc", "nonuniform", "nonuniform3"):
         for cs in (1, 2):
             payloads = {tuple(sorted(r["perm_bytes"]))
                         for r in all_results

@@ -90,12 +90,22 @@ class NuSpec:
     #   "bfloat16" 2 B/elem, ~56 dB + the tail's energy deficit — the
     #              legacy fast tier, dominated by int16 at equal bytes
     tail_store: str = "float32"
+    # storage for the HEAD stage's ring + coefficient planes (same tiers,
+    # no bfloat16 — the head carries the signal's leading energy). The head
+    # ring quantizes one [2C, Hp_head] slot per block (a ~1.4 MB encode at
+    # the flagship geometry) and is then read by all p_head partitions, so
+    # the encode amortizes p_head ways.
+    head_store: str = "float32"
 
     def __post_init__(self):
         if self.tail_store not in ("float32", "bfloat16", "int16", "int24"):
             raise ValueError(
                 "tail_store must be float32/bfloat16/int16/int24, "
                 f"got {self.tail_store!r}")
+        if self.head_store not in ("float32", "int16", "int24"):
+            raise ValueError(
+                "head_store must be float32/int16/int24, "
+                f"got {self.head_store!r}")
         if self.ratio < 2 or (self.ratio & (self.ratio - 1)):
             raise ValueError(f"ratio must be a power of two >= 2, got {self.ratio}")
         if self.p_head % self.ratio:
@@ -137,24 +147,26 @@ class NuSpec:
         """Amortized MAC HBM bytes per N-block (ring+coeff, both stages) —
         the number the uniform engine pays P/(p_head + p_tail/R) times
         over."""
-        it = jnp.dtype(self.dtype).itemsize
-        it_tail = {"float32": 4, "bfloat16": 2, "int16": 2,
-                   "int24": 3}[self.tail_store]
-        head = 2 * self.p_head * 2 * self.block_length * it
+        sizes = {"float32": 4, "bfloat16": 2, "int16": 2, "int24": 3}
+        it_head = sizes[self.head_store]
+        it_tail = sizes[self.tail_store]
+        head = 2 * self.p_head * 2 * self.block_length * it_head
         tail = 2 * self.p_tail * 2 * self.m * it_tail // self.ratio
         return (head + tail)  # per channel
 
 
 def nu_geometry(taps: int, block_length: int = 1024, ratio: int = 8,
                 dtype: str = "float32",
-                tail_store: str = "float32") -> NuSpec:
+                tail_store: str = "float32",
+                head_store: str = "float32") -> NuSpec:
     """Pick a two-stage geometry covering ``taps``: minimal head (D=2) and
     however many M-partitions the remainder needs."""
     p_head = 2 * ratio
     m = ratio * block_length
     rest = max(0, taps - p_head * block_length)
     p_tail = max(1, -(-rest // m))
-    return NuSpec(block_length, ratio, p_head, p_tail, dtype, tail_store)
+    return NuSpec(block_length, ratio, p_head, p_tail, dtype, tail_store,
+                  head_store)
 
 
 class NuState(NamedTuple):
@@ -170,6 +182,14 @@ class NuState(NamedTuple):
 
 def init_nu_state(spec: NuSpec, n_channels: int) -> NuState:
     dt = jnp.dtype(spec.dtype)
+    head = K.init_hc_state(spec.head_spec, n_channels)
+    if spec.head_store in ("int16", "int24"):
+        p, c2, hp = head.ring.shape
+        head = head._replace(ring=K.IntPlanes(
+            hi=jnp.zeros((p, c2, hp), jnp.int16),
+            lo=(jnp.zeros((p, c2, hp), jnp.uint8)
+                if spec.head_store == "int24" else None),
+            scale=jnp.full((p, c2, 128), 1e-30, jnp.float32)))
     tail = K.init_hc_state(spec.tail_spec, n_channels)
     if spec.tail_store == "bfloat16":
         tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))
@@ -181,7 +201,7 @@ def init_nu_state(spec: NuSpec, n_channels: int) -> NuState:
                 if spec.tail_store == "int24" else None),
             scale=jnp.full((p, c2, 128), 1e-30, jnp.float32)))
     return NuState(
-        head=K.init_hc_state(spec.head_spec, n_channels),
+        head=head,
         tail=tail,
         inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
         pending=jnp.zeros((spec.delay_blocks, n_channels, spec.m), dtype=dt),
@@ -220,9 +240,13 @@ def nu_coeffs(impulse, spec: NuSpec, n_channels: int, scale: float = 1.0,
     elif spec.tail_store in ("int16", "int24"):
         tail = K.quantize_planes(tail, 24 if spec.tail_store == "int24"
                                  else 16)
+    head = K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise,
+                       shared=shared)
+    if spec.head_store in ("int16", "int24"):
+        head = K.quantize_planes(head, 24 if spec.head_store == "int24"
+                                 else 16)
     return NuCoeffs(
-        head=K.hc_coeffs(head_imp, spec.head_spec, n_channels, scale, precise,
-                         shared=shared),
+        head=head,
         tail=tail,
     )
 
@@ -335,8 +359,8 @@ def step_nu(
     r_phase = (jnp.mod(state.head.blockcounter, ratio) if phase is None
                else phase)
 
-    head, y_head = K.step_hc(state.head, coeffs.head, block,
-                             interpret=interpret, use_pallas=use_pallas)
+    head, y_head = _head_step(state.head, coeffs.head, block, use_pallas,
+                              interpret)
 
     zero = jnp.zeros((), dtype=jnp.int32)
     off = (r_phase * n if phase is None
@@ -372,12 +396,36 @@ def step_nu(
 
 
 def _hc_mac(ring, coeff, pos, use_pallas, interpret):
+    if isinstance(ring, K.IntPlanes):
+        if use_pallas:
+            hp = ring.hi.shape[-1]
+            return K.mac_pallas_hc_tiled_int(ring, coeff, pos, tile=hp,
+                                             interpret=interpret)
+        return K.mac_reference_hc_int(ring, coeff, pos)
     c = ring.shape[1] // 2
     if use_pallas:
         return K.mac_pallas_hc(ring, coeff, pos, interpret=interpret)
     cs = coeff.shape[1] // 2  # 1 = shared filter
     return K.mac_reference_hc(ring[:, :c], ring[:, c:],
                               coeff[:, :cs], coeff[:, cs:], pos)
+
+
+def _head_step(state: K.HcState, coeff, block, use_pallas, interpret):
+    """Head-stage step: the plain hc step for float-stored heads, or the
+    int-stored variant (quantizing ring insert + in-kernel-decode MAC +
+    direct half-DFT tail) for NuSpec.head_store int16/int24."""
+    if not isinstance(coeff, K.IntPlanes):
+        return K.step_hc(state, coeff, block, interpret=interpret,
+                         use_pallas=use_pallas)
+    p, c2, hp = _ring_shape(state.ring)
+    n = block.shape[-1]
+    block, xpk = K._hc_frame_spectrum(state, block, hp)
+    pos = jnp.mod(state.blockcounter, p)
+    ring = _ring_insert(state.ring, xpk, pos)
+    yr, yi = _hc_mac(ring, coeff, pos, use_pallas, interpret)
+    out = F.irfft_hc_tail(yr.astype(block.dtype), yi.astype(block.dtype),
+                          n=2 * n)
+    return K.HcState(ring, block, state.blockcounter + 1), out
 
 
 def _tail_step2(state: K.HcState, coeff_a, coeff_b, mblock, use_pallas,
@@ -434,22 +482,22 @@ def step_nu_crossfade(
     if head_ramp:
         # two head MACs + intra-block ramp (step_hc_crossfade's law, with
         # the same MAC selection as step_nu)
-        p, c2, hp = state.head.ring.shape
+        p, c2, hp = _ring_shape(state.head.ring)
         blk, xpk = K._hc_frame_spectrum(state.head, block, hp)
         pos = jnp.mod(state.head.blockcounter, p)
-        zero = jnp.zeros((), dtype=pos.dtype)
-        ring = jax.lax.dynamic_update_slice(state.head.ring, xpk[None],
-                                            (pos, zero, zero))
+        ring = _ring_insert(state.head.ring, xpk, pos)
         yo = _hc_mac(ring, coeffs_old.head, pos, use_pallas, interpret)
         yn = _hc_mac(ring, coeffs_new.head, pos, use_pallas, interpret)
-        out_o = F.irfft_hc_tail(yo[0], yo[1], n=2 * n)
-        out_n = F.irfft_hc_tail(yn[0], yn[1], n=2 * n)
+        out_o = F.irfft_hc_tail(yo[0].astype(blk.dtype),
+                                yo[1].astype(blk.dtype), n=2 * n)
+        out_n = F.irfft_hc_tail(yn[0].astype(blk.dtype),
+                                yn[1].astype(blk.dtype), n=2 * n)
         ramp = jnp.arange(n, dtype=out_o.dtype) / (n - 1)
         y_head = out_o * (1.0 - ramp) + out_n * ramp
         head = K.HcState(ring, blk, state.head.blockcounter + 1)
     else:
-        head, y_head = K.step_hc(state.head, coeffs_new.head, block,
-                                 interpret=interpret, use_pallas=use_pallas)
+        head, y_head = _head_step(state.head, coeffs_new.head, block,
+                                  use_pallas, interpret)
 
     zero = jnp.zeros((), dtype=r_phase.dtype)
     inbuf = jax.lax.dynamic_update_slice(
@@ -501,8 +549,8 @@ def step_nu_macro(
     head = state.head
     outs = []
     for i in range(r):  # static unroll: phase is a python int
-        head, y = K.step_hc(head, coeffs.head, mblocks[i],
-                            interpret=interpret, use_pallas=use_pallas)
+        head, y = _head_step(head, coeffs.head, mblocks[i], use_pallas,
+                             interpret)
         outs.append(y + state.pending[0][:, i * n:(i + 1) * n])
     inbuf = jnp.swapaxes(mblocks, 0, 1).reshape(c, r * n).astype(state.inbuf.dtype)
     tail, z = _tail_step(state.tail, coeffs.tail, inbuf, use_pallas, interpret)
@@ -610,7 +658,7 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
     dt = jnp.dtype(spec.dtype)
     hp_t = -(-spec.m // 128) * 128
     split_band_len(spec)  # geometry check
-    if spec.tail_store in ("int16", "int24"):
+    if spec.tail_store in ("int16", "int24") or spec.head_store != "float32":
         raise ValueError(
             "split-tail schedule does not support integer tail storage yet "
             "(the banded MAC kernel streams float planes); use step_nu")

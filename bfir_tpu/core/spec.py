@@ -344,6 +344,10 @@ class EngineConfig:
     # Opt-in; ignored by other engine modes; the sharded engines support
     # float32/bfloat16 only.
     nu_tail_store: str = "float32"
+    # head-stage storage for the nonuniform engine (float32/int16/int24 —
+    # no bfloat16: the head carries the signal's leading energy); same
+    # frontier artifact. Single-chip nonuniform engine only.
+    nu_head_store: str = "float32"
     # shard-local compute of engine_mode="sharded": "auto" picks the
     # three-stage engine for very long filters (>= 640 partitions, the
     # single-chip crossover), the two-stage nonuniform engine for long
@@ -364,6 +368,10 @@ class EngineConfig:
             raise ValueError(
                 "nu_tail_store must be float32/bfloat16/int16/int24, "
                 f"got {self.nu_tail_store!r}")
+        if self.nu_head_store not in ("float32", "int16", "int24"):
+            raise ValueError(
+                "nu_head_store must be float32/int16/int24, "
+                f"got {self.nu_head_store!r}")
         if self.sharded_local not in ("auto", "uniform", "nonuniform",
                                       "nonuniform3"):
             raise ValueError(

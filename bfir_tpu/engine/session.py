@@ -151,6 +151,7 @@ class StreamProcessor:
             and config.filter.dtype == old_cfg.filter.dtype
             and config.stream.apply_dither == old_cfg.stream.apply_dither
             and config.nu_tail_store == old_cfg.nu_tail_store
+            and config.nu_head_store == old_cfg.nu_head_store
             and config.sharded_local == old_cfg.sharded_local
             and delay_compat
             # crossfade is implemented on every engine path (complex:
@@ -581,7 +582,8 @@ class StreamProcessor:
             n = fspec.block_length
             taps = fspec.n_partitions * n
             nuspec = NU.nu_geometry(taps, n, ratio=8, dtype=fspec.dtype,
-                                    tail_store=self.config.nu_tail_store)
+                                    tail_store=self.config.nu_tail_store,
+                                    head_store=self.config.nu_head_store)
             if taps <= nuspec.p_head * n:
                 # filter fits inside the head: the two-stage machinery would
                 # only add overhead — fall through to the uniform hc engine

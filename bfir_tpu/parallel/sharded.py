@@ -327,7 +327,7 @@ def _nu_pad_tail(nuspec, p_shards: int):
     if pt == nuspec.p_tail:
         return nuspec
     return NU.NuSpec(nuspec.block_length, nuspec.ratio, nuspec.p_head, pt,
-                     nuspec.dtype, nuspec.tail_store)
+                     nuspec.dtype, nuspec.tail_store, nuspec.head_store)
 
 
 def _make_nu_shard_parts(mesh: Mesh, nuspec, n_channels: int,

@@ -925,3 +925,84 @@ def test_split_tail_rejects_int_store():
         NU.init_nu_split_state(
             NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
                       tail_store="int24"), 2)
+
+
+@pytest.mark.parametrize("store,min_snr", [("int24", 115.0), ("int16", 75.0)])
+def test_nu_int_head_and_tail_store(store, min_snr):
+    """Both stages int-stored: stream SNR in the tier's class; kernel
+    (interpret) and reference paths agree."""
+    from scipy import signal
+
+    rng = np.random.default_rng(95)
+    spec = NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=3,
+                     tail_store=store, head_store=store)
+    c = 2
+    h = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    co = NU.nu_coeffs(h, spec, c)
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    assert isinstance(co.head, K.IntPlanes)
+    st = NU.init_nu_state(spec, c)
+    assert isinstance(st.head.ring, K.IntPlanes)
+    n = spec.block_length
+    nblocks = (spec.delay_blocks + 3) * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    outs, outs_k = [], []
+    st_k = NU.init_nu_state(spec, c)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st, y = NU.step_nu(st, co, blk, use_pallas=False)
+        st_k, yk = NU.step_nu(st_k, co, blk, interpret=True, use_pallas=True)
+        outs.append(np.asarray(y))
+        outs_k.append(np.asarray(yk))
+    y = np.concatenate(outs, axis=1)
+    yk = np.concatenate(outs_k, axis=1)
+    np.testing.assert_allclose(yk, y, atol=2e-5 * max(1.0, np.abs(y).max()))
+    ref = signal.fftconvolve(x.astype(np.float64), h.astype(np.float64),
+                             axes=1)[:, : y.shape[1]]
+    snr = min(10 * np.log10(float((ref[ch]**2).sum())
+                            / float(((y[ch] - ref[ch])**2).sum()))
+              for ch in range(c))
+    assert snr > min_snr, snr
+
+
+def test_nu_int_head_crossfade_converges():
+    """Live filter change on an int-stored head: ramp + hold + bridging
+    fire produce finite output converging to the new filter."""
+    from scipy import signal
+
+    rng = np.random.default_rng(96)
+    spec = NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
+                     tail_store="int24", head_store="int24")
+    c = 2
+    h1 = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    h2 = (rng.standard_normal((c, spec.max_taps)) * 0.05).astype(np.float32)
+    co1, co2 = NU.nu_coeffs(h1, spec, c), NU.nu_coeffs(h2, spec, c)
+    st = NU.init_nu_state(spec, c)
+    n = spec.block_length
+    xs = []
+    for b in range(4 * spec.ratio):
+        blk = rng.standard_normal((c, n)).astype(np.float32)
+        xs.append(blk)
+        st, _ = NU.step_nu(st, co1, blk, use_pallas=False)
+    # transition: ramp block, then holds until a fire passes
+    blk = rng.standard_normal((c, n)).astype(np.float32)
+    xs.append(blk)
+    st, y = NU.step_nu_crossfade(st, co1, co2, blk, head_ramp=True,
+                                 use_pallas=False)
+    assert np.isfinite(np.asarray(y)).all()
+    outs = []
+    for b in range(6 * spec.ratio):
+        blk = rng.standard_normal((c, n)).astype(np.float32)
+        xs.append(blk)
+        st, y = NU.step_nu(st, co2, blk, use_pallas=False)
+        outs.append(np.asarray(y))
+    # the last blocks are pure new-filter output
+    full = np.concatenate(xs, axis=1)
+    ref = signal.fftconvolve(full.astype(np.float64), h2.astype(np.float64),
+                             axes=1)[:, : full.shape[1]]
+    got = np.concatenate(outs, axis=1)[:, -3 * n:]
+    want = ref[:, -3 * n:]
+    snr = 10 * np.log10(float((want**2).sum())
+                        / float(((got - want)**2).sum()))
+    assert snr > 100, snr
