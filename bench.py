@@ -405,27 +405,41 @@ def bench_bulk(h, jnp, jax, n_iters):
     if s < 80:
         return 0.0, s
 
+    # DIFFERENTIAL device time (the established protocol): scans of NB1 and
+    # NB2 batches per dispatch; the tunnel round-trip is a per-dispatch
+    # constant that cancels in the difference (a single-dispatch division
+    # adds RT/total-samples — at a sick-tunnel 250 ms RT over a 1.97
+    # M-frame dispatch that is +0.13 ms per 1024 frames, swamping the
+    # device time)
     key = jax.random.PRNGKey(4)
-    make_pool = jax.jit(lambda k: jax.random.normal(
-        k, (scan_batches, b, CHANNELS, m), dtype=jnp.float32))
-    pool = [make_pool(k) for k in jax.random.split(key, 2)]
-    jax.block_until_ready(pool)
+    nb1, nb2 = max(1, scan_batches // 4), scan_batches
+    fs = {}
+    pools = {}
+    times = {nb1: [], nb2: []}
     state = cv.init_state(fspec, CHANNELS)
-    t0 = time.time()
-    state, outs = f(state, co, hs, pool[0])
-    float(jnp.sum(outs))
-    log(f"bulk scan compile: {time.time()-t0:.1f}s")
-    nsamp = scan_batches * b * m
-    times = []
-    for i in range(n_iters):
+    for nb in (nb1, nb2):
+        fs[nb] = jax.jit(steps, donate_argnums=0)
+        make_pool = jax.jit(lambda k, nb=nb: jax.random.normal(
+            k, (nb, b, CHANNELS, m), dtype=jnp.float32))
+        pools[nb] = [make_pool(k) for k in jax.random.split(
+            jax.random.fold_in(key, nb), 2)]
+        jax.block_until_ready(pools[nb])
         t0 = time.time()
-        state, outs = f(state, co, hs, pool[i % 2])
+        state, outs = fs[nb](state, co, hs, pools[nb][0])
         float(jnp.sum(outs))
-        times.append((time.time() - t0) / nsamp)
-    per_samp = float(np.median(times))
+        log(f"bulk scan compile (NB={nb}): {time.time()-t0:.1f}s")
+    for _round in range(2):
+        for nb in (nb1, nb2):
+            for i in range(n_iters):
+                t0 = time.time()
+                state, outs = fs[nb](state, co, hs, pools[nb][i % 2])
+                float(jnp.sum(outs))
+                times[nb].append(time.time() - t0)
+    dsamp = (nb2 - nb1) * b * m
+    per_samp = max((min(times[nb2]) - min(times[nb1])) / dsamp, 1e-15)
     sps = CHANNELS / per_samp
-    log(f"bulk: {per_samp*BLOCK*1e3:.3f} ms/1024-frames-equiv -> "
-        f"{sps/1e6:.0f} M samples/s")
+    log(f"bulk: {per_samp*BLOCK*1e3:.3f} ms/1024-frames-equiv (differential "
+        f"NB={nb1}/{nb2}) -> {sps/1e6:.0f} M samples/s")
     return sps, s
 
 
@@ -944,9 +958,14 @@ def main():
 
     uniform_batch_sps = batch.get("sps", 0.0) or 0.0
     bulk_sps = bulk.get("sps", 0.0) or 0.0
-    # the bulk/offline figure of merit: best whole-file path (render() picks
-    # the bulk geometry; process_batch remains the uniform-N bulk form)
-    batch_sps = max(uniform_batch_sps, bulk_sps)
+    nu_sps_floor = 0.0
+    if nustream.get("floor"):
+        nu_sps_floor = BLOCK * CHANNELS / nustream["floor"]
+    # the bulk/offline figure of merit: the best whole-file path render()
+    # can pick — the batched large-M form, the uniform-N form, or (for
+    # long filters, core/bulk.py NU_BULK_MIN_TAPS) the nu macro scan,
+    # whose device floor the nustream path measures
+    batch_sps = max(uniform_batch_sps, bulk_sps, nu_sps_floor)
     stream_sps = stream.get("sps", 0.0) or 0.0
     p50 = stream.get("p50") or float("nan")
     floor = stream.get("floor") or float("nan")

@@ -84,9 +84,27 @@ def bulk_geometry(taps: int, dtype: str = "float32",
     return BulkSpec(m, p, b, dtype)
 
 
+# Above this tap count the two-stage (Gardner) macro scan beats the batched
+# block-axis-FFT formulation for bulk work on the target TPU: measured
+# r5 on v5e-lite at the flagship geometry (131072 taps), the nu macro scan
+# runs 0.093-0.098 ms/block-equiv (666-730 M samples/s) while the batched
+# M=8192 form reaches 0.103 ms (635 M) — its block-axis transform is
+# transpose-bound, and the sliced/fused reformulations that would close the
+# gap do not compile on this backend (oversized remote-compile payloads /
+# the historical miscompile class). Below the threshold the nu geometry
+# doesn't apply (the head would cover the filter) and the batched form is
+# the right engine.
+NU_BULK_MIN_TAPS = 65536
+
+
 class BulkRenderer:
     """One-shot offline renderer: exact linear convolution of [C, T] audio
     with a [C, taps] (or [1, taps] shared) impulse at the bulk geometry.
+
+    Two engines behind one surface (selection measured, see
+    ``NU_BULK_MIN_TAPS``): long filters run the two-stage non-uniform macro
+    scan (cond-free, M-cycle aligned — the fastest verified schedule on the
+    chip); shorter filters run ``process_batch`` at the large-M geometry.
 
     ``jit_wrap`` lets the caller supply the session's wisdom jit (serialized
     executables) instead of plain ``jax.jit``.
@@ -94,14 +112,41 @@ class BulkRenderer:
 
     def __init__(self, impulse, n_channels: int, scale: float = 1.0,
                  dtype: str = "float32", spec: Optional[BulkSpec] = None,
-                 jit_wrap=None):
+                 jit_wrap=None, store: str = "float32",
+                 block_length: int = 1024):
         impulse = np.atleast_2d(np.asarray(impulse))
-        self.spec = spec or bulk_geometry(impulse.shape[-1], dtype)
+        taps = impulse.shape[-1]
         self.n_channels = n_channels
+        jj = jit_wrap or jax.jit
+        self.engine = ("nonuniform"
+                       if spec is None and taps >= NU_BULK_MIN_TAPS
+                       and dtype == "float32"
+                       else "batch")
+        if self.engine == "nonuniform":
+            from bfir_tpu.core import nonuniform as NU
+
+            self._nuspec = NU.nu_geometry(taps, block_length, ratio=8,
+                                          dtype=dtype, tail_store=store,
+                                          head_store=store
+                                          if store in ("int16", "int24")
+                                          else "float32")
+            self.spec = None
+            self._co = NU.nu_coeffs(impulse, self._nuspec, n_channels,
+                                    scale=scale)
+            import jax as _jax
+
+            interp = _jax.default_backend() == "cpu"
+            self._call = jj(
+                lambda st, co, blocks: NU.process_blocks_nu_fast(
+                    st, co, blocks, interpret=interp,
+                    use_pallas=not interp),
+                donate_argnums=0,
+            )
+            return
+        self.spec = spec or bulk_geometry(taps, dtype)
         fspec = self.spec.filter_spec
         self._co = cv.coeffs_to_spectra(impulse, fspec, scale=scale)
         self._hs = cv.prepare_batch_coeffs(self._co, self.spec.batch_blocks)
-        jj = jit_wrap or jax.jit
         self._call = jj(
             lambda st, co, hs, blocks: cv.process_batch(
                 st, co, blocks, coeff_batch_fft=hs),
@@ -111,16 +156,18 @@ class BulkRenderer:
     def render(self, x) -> np.ndarray:
         """Filter [C, T] -> [C, T] (exact convolution, first T samples).
 
-        The input is cut into batches of ``batch_blocks`` M-blocks; the last
-        batch is zero-padded to the static batch shape (one compiled graph
-        regardless of T) and the output trimmed. State threads through the
-        batches, so the result is the same single linear convolution the
-        streaming engines produce.
+        The input is cut into fixed-size dispatches (the last zero-padded to
+        the static shape — one compiled graph regardless of T) and the
+        output trimmed. State threads through the dispatches, so the result
+        is the same single linear convolution the streaming engines
+        produce.
         """
         x = np.atleast_2d(np.asarray(x))
         c, t = x.shape
         if c != self.n_channels:
             raise ValueError(f"expected {self.n_channels} channels, got {c}")
+        if self.engine == "nonuniform":
+            return self._render_nu(x)
         m = self.spec.block_length
         bm = self.spec.batch_blocks
         fspec = self.spec.filter_spec
@@ -136,5 +183,29 @@ class BulkRenderer:
             blocks = jax.numpy.asarray(
                 chunk.reshape(c, bm, m).transpose(1, 0, 2))
             state, out = self._call(state, self._co, self._hs, blocks)
+            outs.append(np.asarray(out).transpose(1, 0, 2).reshape(c, -1))
+        return np.concatenate(outs, axis=1)[:, :t]
+
+    def _render_nu(self, x) -> np.ndarray:
+        from bfir_tpu.core import nonuniform as NU
+
+        c, t = x.shape
+        sp = self._nuspec
+        n = sp.block_length
+        # one dispatch = 24 M-cycles (~192 blocks at the default geometry:
+        # big enough to amortize a sick tunnel's round-trip, small enough
+        # to bound the resident input/output slabs)
+        step = 24 * sp.ratio * n
+        state = NU.init_nu_state(sp, c)
+        dt = np.dtype(sp.dtype)
+        n_disp = -(-max(t, 1) // step)
+        pad = n_disp * step - t
+        xp = np.pad(x.astype(dt, copy=False), ((0, 0), (0, pad)))
+        outs = []
+        for i in range(n_disp):
+            chunk = xp[:, i * step:(i + 1) * step]
+            blocks = jax.numpy.asarray(
+                chunk.reshape(c, step // n, n).transpose(1, 0, 2))
+            state, out = self._call(state, self._co, blocks)
             outs.append(np.asarray(out).transpose(1, 0, 2).reshape(c, -1))
         return np.concatenate(outs, axis=1)[:, :t]

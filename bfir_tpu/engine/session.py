@@ -1169,20 +1169,37 @@ class StreamProcessor:
                     # same miscompile defense as the streaming engines: one
                     # known-answer dispatch through the exact jitted graph
                     # (the axon backend's batched-graph miscompiles are
-                    # shape-dependent and MOVE between plugin builds)
+                    # shape-dependent and MOVE between plugin builds).
+                    # Engine-agnostic: drive render() itself for one
+                    # dispatch of noise and compare against scipy.
+                    from scipy import signal
+
                     from bfir_tpu.engine import selfcheck
 
                     scaled = (self._built_impulse.astype(np.float64)
                               * self._built_scale)
-                    selfcheck.check_batch(
-                        lambda st, co, blocks: bulk._call(
-                            st, co, bulk._hs, blocks),
-                        lambda: cv.init_state(bulk.spec.filter_spec,
-                                              self._channels),
-                        bulk._co, scaled, bulk.spec.filter_spec,
-                        self._channels, bulk.spec.batch_blocks,
-                        label=f"bulk render (M={bulk.spec.block_length}, "
-                              f"P={bulk.spec.n_partitions})")
+                    rng = np.random.default_rng(0xB01C)
+                    t_chk = (bulk.spec.samples_per_dispatch
+                             if bulk.engine == "batch"
+                             else 24 * bulk._nuspec.ratio
+                             * bulk._nuspec.block_length)
+                    x_chk = rng.standard_normal(
+                        (self._channels, t_chk)).astype(np.float32)
+                    y_chk = bulk.render(x_chk)
+                    ref = np.stack([signal.fftconvolve(
+                        x_chk[ch].astype(np.float64),
+                        scaled[0] if scaled.shape[0] == 1 else scaled[ch])
+                        [: t_chk] for ch in range(self._channels)])
+                    snr = selfcheck._worst_snr_db(
+                        y_chk.astype(np.float64), ref)
+                    if not np.isfinite(snr) or snr < 80.0:
+                        raise selfcheck.EngineSelfCheckError(
+                            f"bulk render ({bulk.engine}) known-answer "
+                            f"check FAILED: worst-channel SNR {snr:.1f} dB "
+                            "— refusing the bulk graph (possible backend "
+                            "miscompile)")
+                    pinfo("Self-check (bulk render, %s): worst-channel SNR "
+                          "%.1f dB.", bulk.engine, snr)
                 self._bulk = bulk
             y = self._bulk.render(frames)
             if self.config.stream.out_format.isfloat and self._overflow is not None:

@@ -209,3 +209,36 @@ def test_session_render_refuses_bad_graph(tmp_path, monkeypatch):
     sp = StreamProcessor(cfg, cache)
     with pytest.raises(EngineSelfCheckError):
         sp.render(x)
+
+
+def test_bulk_renderer_nu_engine_matches_scipy(monkeypatch):
+    """Long filters route the renderer through the nu macro scan (the
+    fastest verified bulk schedule on the TPU); exactness unchanged."""
+    from bfir_tpu.core import bulk as BK
+
+    monkeypatch.setattr(BK, "NU_BULK_MIN_TAPS", 4000)
+    rng = np.random.default_rng(20)
+    c, taps = 2, 4608
+    h = (rng.standard_normal((c, taps)) * 0.1).astype(np.float32)
+    r = BK.BulkRenderer(h, c, dtype="float32", block_length=128)
+    assert r.engine == "nonuniform"
+    x = rng.standard_normal((c, 30000)).astype(np.float32)
+    y = r.render(x)
+    assert y.shape == x.shape
+    assert snr_db(y, _oracle(x, h)) > 110
+
+
+def test_bulk_renderer_nu_multi_dispatch_state_threads(monkeypatch):
+    """T spanning several nu dispatches: pending/tail state threads."""
+    from bfir_tpu.core import bulk as BK
+
+    monkeypatch.setattr(BK, "NU_BULK_MIN_TAPS", 4000)
+    rng = np.random.default_rng(21)
+    c, taps = 2, 6000
+    h = (rng.standard_normal((c, taps)) * 0.1).astype(np.float32)
+    r = BK.BulkRenderer(h, c, dtype="float32", block_length=128)
+    step = 24 * r._nuspec.ratio * r._nuspec.block_length
+    x = rng.standard_normal((c, 2 * step + 777)).astype(np.float32)
+    y = r.render(x)
+    assert y.shape == x.shape
+    assert snr_db(y, _oracle(x, h)) > 110
