@@ -338,12 +338,15 @@ class EngineConfig:
     use_wisdom: bool = True
     # tail-stage storage for the nonuniform engine (MAC still accumulates
     # f32; only streamed bytes change). "int24" (3 B/elem, ~134 dB MAC SNR)
-    # is the quality-preserving fast tier; "int16" (2 B/elem, ~86 dB) the
-    # halved-traffic point; "bfloat16" the legacy ~56 dB tier. Measured
-    # frontier: benchmarks/storage_snr.py; core/nonuniform.NuSpec.tail_store.
-    # Opt-in; ignored by other engine modes; the sharded engines support
-    # float32/bfloat16 only.
-    nu_tail_store: str = "float32"
+    # is the quality-preserving fast tier (TPU-measured r5: 0.0847 vs f32's
+    # 0.0913 ms/block at 132.8 dB, same-session differentials); "int16"
+    # (2 B/elem, ~86 dB) the halved-traffic point; "bfloat16" the legacy
+    # ~56 dB tier. Measured frontier: benchmarks/storage_snr.py;
+    # core/nonuniform.NuSpec.tail_store. "auto" (default) resolves to
+    # int24 for the single-chip nonuniform engine on accelerators (the
+    # known-answer self-check still gates it at open) and float32
+    # elsewhere; the sharded engines support float32/bfloat16 only.
+    nu_tail_store: str = "auto"
     # head-stage storage for the nonuniform engine (float32/int16/int24 —
     # no bfloat16: the head carries the signal's leading energy); same
     # frontier artifact. Single-chip nonuniform engine only.
@@ -363,8 +366,8 @@ class EngineConfig:
             raise ValueError(
                 "engine_mode must be auto/complex/packed/hc/nonuniform/"
                 f"nonuniform3/extended/sharded, got {self.engine_mode!r}")
-        if self.nu_tail_store not in ("float32", "bfloat16", "int16",
-                                      "int24"):
+        if self.nu_tail_store not in ("auto", "float32", "bfloat16",
+                                      "int16", "int24"):
             raise ValueError(
                 "nu_tail_store must be float32/bfloat16/int16/int24, "
                 f"got {self.nu_tail_store!r}")

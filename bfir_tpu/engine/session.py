@@ -256,6 +256,19 @@ class StreamProcessor:
         if self._channels:
             self._init_runtime_state()
 
+    def _resolve_nu_tail_store(self, engine: str) -> str:
+        """Resolve nu_tail_store="auto": the int24 tier for the single-chip
+        two-stage engine on accelerators (TPU-measured faster than f32 at
+        >=125 dB, r5; the known-answer self-check still gates the compiled
+        graph), float32 everywhere else (sharded engines and nu3 support
+        float32/bfloat16; CPU gains nothing from storage compression)."""
+        v = self.config.nu_tail_store
+        if v != "auto":
+            return v
+        if engine == "nonuniform" and jax.default_backend() != "cpu":
+            return "int24"
+        return "float32"
+
     def _resolve_engine_mode(self) -> str:
         mode = self.config.engine_mode
         if mode == "auto":
@@ -504,7 +517,7 @@ class StreamProcessor:
             try:
                 self._sharded = ShardedEngine(
                     fspec, n_channels, mesh, local_impl=local,
-                    nu_tail_store=self.config.nu_tail_store,
+                    nu_tail_store=self._resolve_nu_tail_store("sharded"),
                     shared_coeffs=shared)
             except ValueError:
                 if local == "nonuniform3":
@@ -513,7 +526,7 @@ class StreamProcessor:
                     try:
                         self._sharded = ShardedEngine(
                             fspec, n_channels, mesh, local_impl="nonuniform",
-                            nu_tail_store=self.config.nu_tail_store,
+                            nu_tail_store=self._resolve_nu_tail_store("sharded"),
                             shared_coeffs=shared)
                     except ValueError:
                         self._sharded = ShardedEngine(fspec, n_channels, mesh,
@@ -581,9 +594,10 @@ class StreamProcessor:
 
             n = fspec.block_length
             taps = fspec.n_partitions * n
-            nuspec = NU.nu_geometry(taps, n, ratio=8, dtype=fspec.dtype,
-                                    tail_store=self.config.nu_tail_store,
-                                    head_store=self.config.nu_head_store)
+            nuspec = NU.nu_geometry(
+                taps, n, ratio=8, dtype=fspec.dtype,
+                tail_store=self._resolve_nu_tail_store("nonuniform"),
+                head_store=self.config.nu_head_store)
             if taps <= nuspec.p_head * n:
                 # filter fits inside the head: the two-stage machinery would
                 # only add overhead — fall through to the uniform hc engine
@@ -621,9 +635,9 @@ class StreamProcessor:
 
             n = fspec.block_length
             taps = fspec.n_partitions * n
-            nuspec = NU.nu3_geometry(taps, n, ratio1=8, ratio2=8,
-                                     dtype=fspec.dtype,
-                                     tail_store=self.config.nu_tail_store)
+            nuspec = NU.nu3_geometry(
+                taps, n, ratio1=8, ratio2=8, dtype=fspec.dtype,
+                tail_store=self._resolve_nu_tail_store("nonuniform3"))
             # only pay three stages when the filter outgrows what the
             # two-stage inner head alone would cover
             two_stage_head = nuspec.p_head * n + nuspec.inner.p_head * nuspec.m1

@@ -845,3 +845,27 @@ def test_session_shared_coeffs_nonuniform(cache, tmp_path):
                     for c in range(2)])
     snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
     assert snr > 100, snr
+
+
+def test_nu_tail_store_auto_resolution(cache, tmp_path, monkeypatch):
+    """nu_tail_store="auto": int24 for the single-chip nonuniform engine on
+    accelerators (TPU-measured faster at >=125 dB, r5), float32 on CPU and
+    for the sharded/nu3 engines."""
+    import jax as _jax
+
+    from bfir_tpu.engine import session as S
+
+    cfg = make_config(tmp_path)
+    sp = StreamProcessor(cfg, cache)
+    assert sp.config.nu_tail_store == "auto"
+    assert sp._resolve_nu_tail_store("nonuniform") == "float32"  # CPU
+    monkeypatch.setattr(S.jax, "default_backend", lambda: "tpu")
+    assert sp._resolve_nu_tail_store("nonuniform") == "int24"
+    assert sp._resolve_nu_tail_store("sharded") == "float32"
+    assert sp._resolve_nu_tail_store("nonuniform3") == "float32"
+    # explicit values pass through untouched
+    import dataclasses
+
+    sp2 = StreamProcessor(dataclasses.replace(cfg, nu_tail_store="bfloat16"),
+                          cache)
+    assert sp2._resolve_nu_tail_store("nonuniform") == "bfloat16"
