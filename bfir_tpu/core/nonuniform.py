@@ -46,12 +46,22 @@ Everything is static-shape and cond/scan-friendly: one jitted step serves
 every phase (the tail MAC runs under ``lax.cond`` on phase R-1), so the
 step compiles once and streams like the uniform engines.
 
-Latency shape: per-block cost is uneven by construction — the phase-R-1
-block additionally runs the whole tail fire (~0.5 ms at the flagship
-geometry vs ~0.06 ms for other phases). Real-time budget per 1024-sample
-block at 44.1 kHz is 23.2 ms, so the spike is ~2% of budget (the fire
-could be spread across its R-block slack with a split-tail schedule if a
-tighter bound were ever needed; the amortized floor would not improve).
+Latency shape: per-block cost of ``step_nu`` is uneven by construction —
+the phase-R-1 block additionally runs the whole tail fire. Real-time
+budget per 1024-sample block at 44.1 kHz is 23.2 ms, so the spike is a
+few percent of budget; where a tighter per-block bound matters, the
+SPLIT-TAIL schedule below (``step_nu_split``) spreads the fire across its
+R-block slack (same amortized floor, near-uniform phases — per-phase
+differential timings in benchmarks/phase_latency.py, reported by bench.py
+each round).
+
+Storage tiers: the tail (and optionally head) ring+coefficient planes can
+be stored as block-scaled integers — ``tail_store="int24"`` is TPU-measured
+FASTER than f32 at >=125 dB (0.0847 vs 0.0913 ms/block, 132.8 dB — the
+session's accelerator default via ``nu_tail_store="auto"``), ``"int16"``
+is the halved-traffic ~86 dB tier; see benchmarks/storage_snr.py for the
+measured precision/traffic frontier and NuSpec.tail_store for the class
+documentation.
 """
 
 from __future__ import annotations
