@@ -619,7 +619,9 @@ def bench_socket(h, jnp, jax, n_frames=128):
     srv.start()
     try:
         rng = np.random.default_rng(13)
-        x = rng.standard_normal((CHANNELS, n_frames * BLOCK)).astype(np.float32)
+        frame_blocks = 1 if on_cpu else 8  # 8 engine blocks per wire frame
+        x = rng.standard_normal(
+            (CHANNELS, n_frames * frame_blocks * BLOCK)).astype(np.float32)
         s = socket.create_connection(("127.0.0.1", srv.port), timeout=600)
         s.sendall((_json.dumps({"channels": CHANNELS, "sample_rate": 44100,
                                 "in_format": "float_le",
@@ -637,7 +639,8 @@ def bench_socket(h, jnp, jax, n_frames=128):
                 replies.append(f.read(n))
 
         # warm-up (compile) frame, synchronous
-        raw0 = fmops.encode_float(x[:, :BLOCK], SampleFormat.FLOAT_LE)
+        fsz = frame_blocks * BLOCK
+        raw0 = fmops.encode_float(x[:, :fsz], SampleFormat.FLOAT_LE)
         t0 = time.time()
         s.sendall(struct.pack("<I", len(raw0)) + raw0)
         read_replies(1)
@@ -649,7 +652,7 @@ def bench_socket(h, jnp, jax, n_frames=128):
         t0 = time.time()
         rt.start()
         for i in range(1, n_frames):
-            raw = fmops.encode_float(x[:, i * BLOCK:(i + 1) * BLOCK],
+            raw = fmops.encode_float(x[:, i * fsz:(i + 1) * fsz],
                                      SampleFormat.FLOAT_LE)
             s.sendall(struct.pack("<I", len(raw)) + raw)
         rt.join()
@@ -665,9 +668,10 @@ def bench_socket(h, jnp, jax, n_frames=128):
         log(f"socket-path worst-channel SNR vs scipy: {snr:.1f} dB")
         if snr < 80:
             return 0.0, snr
-        sps = rest * BLOCK * CHANNELS / dt
+        sps = rest * fsz * CHANNELS / dt
         rtf = sps / (44100.0 * CHANNELS)
-        log(f"socket path: {dt/rest*1e3:.2f} ms/frame -> {sps/1e6:.1f} M "
+        log(f"socket path ({frame_blocks}-block frames): "
+            f"{dt/rest*1e3:.2f} ms/frame -> {sps/1e6:.1f} M "
             f"samples/s = {rtf:.1f}x real-time through the wire")
         return sps, snr
     finally:
@@ -1026,6 +1030,12 @@ def main():
                              if sock.get("sps") else None),
         "socket_snr_db": (round(sock["snr"], 1)
                           if sock.get("snr") is not None else None),
+        "nu_int24_floor_ms": (round(nustream["int24_floor"] * 1e3, 4)
+                              if nustream.get("int24_floor") else None),
+        "nu_int24_sps": (round(BLOCK * CHANNELS / nustream["int24_floor"], 1)
+                         if nustream.get("int24_floor") else None),
+        "nu_int24_snr_db": (round(nustream["int24_snr"], 1)
+                            if nustream.get("int24_snr") is not None else None),
         "nu_fire_phase_ms": (round(phase["std"]["fire_ms"], 4)
                              if phase.get("std") else None),
         "nu_split_worst_phase_ms": (round(phase["split"]["worst_ms"], 4)

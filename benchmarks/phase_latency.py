@@ -118,28 +118,34 @@ def main(argv=None):
         "worst_over_mean": t_fire / mean_std,
     }
 
-    # --- split-tail step_nu_split: phase 0, a mid phase, phase R-1 --------
+    # --- split-tail step_nu_split: every DISTINCT phase graph -------------
+    # (with the two-phase forward: 0 = fwd half; 1 = fwd half + insert +
+    # band; 2 = two bands; 3..R-2 = one band; R-1 = band + inverse)
     init = lambda: NU.init_nu_split_state(spec, channels)
     print("split-tail step_nu_split:", file=sys.stderr)
+    fwd_split, bands = NU._split_schedule(ratio, channels)
 
     def split_at(ph):
         return lambda s, g, b: NU._split_phase(s, g, b, ph, use_pallas,
                                                interp)
 
-    t0_ = timed_phase(split_at(0), "phase 0 (fwd + band 0)")
-    t_mid = (timed_phase(split_at(1), "mid phase (one band)")
-             if ratio > 2 else t0_ * 0.0)
-    t_last = timed_phase(split_at(ratio - 1), "phase R-1 (band + inverse)")
-    if ratio > 2:
-        mean_split = (t0_ + t_mid * (ratio - 2) + t_last) / ratio
-    else:
-        mean_split = (t0_ + t_last) / 2
-    phases = [t0_] + ([t_mid] * (ratio - 2) if ratio > 2 else []) + [t_last]
+    distinct = sorted({0, 1, min(2, ratio - 1), min(3, ratio - 1),
+                       ratio - 1})
+    t_by_phase = {}
+    for ph in distinct:
+        t_by_phase[ph] = timed_phase(
+            split_at(ph), f"phase {ph} (bands {bands[ph]}"
+                          + (", fwd" if fwd_split == 2 and ph in (0, 1)
+                             else (", fwd+insert" if fwd_split == 1
+                                   and ph == 0 else ""))
+                          + (", inverse" if ph == ratio - 1 else "") + ")")
+    # undistinguished mid phases share phase 3's graph (one band)
+    mid_ph = min(3, ratio - 1)
+    phases = [t_by_phase.get(p, t_by_phase[mid_ph]) for p in range(ratio)]
+    mean_split = sum(phases) / ratio
     worst = max(phases)
     results["split"] = {
-        "phase0_ms": t0_ * 1e3,
-        "mid_ms": t_mid * 1e3 if ratio > 2 else None,
-        "last_ms": t_last * 1e3,
+        "phase_ms": {p: t * 1e3 for p, t in t_by_phase.items()},
         "mean_ms": mean_split * 1e3,
         "worst_over_mean": worst / mean_split,
         "worst_ms": worst * 1e3,

@@ -616,21 +616,28 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
 # M-block completing and its tail contribution being consumed), so the fire
 # can be SPREAD across the following cycle:
 #
-#   phase 0:      forward transform of the just-completed M-block + ring
-#                 insert (the only phase that can't split further without
-#                 splitting the transform itself), + frequency band 0 of
-#                 the MAC
-#   phase r:      frequency band r of the tail MAC — all partitions, one
-#                 Hp/R slice of the spectrum, written once into a carried
-#                 accumulator (banding by FREQUENCY instead of partitions
-#                 means no accumulator read-modify-write: each band is
-#                 produced by exactly one phase)
+#   phase 0:      FIRST HALF of the forward M-transform (channel rows
+#                 [0, C/2) of the overlap-save frame), staged; the old
+#                 M-block is also staged (``mold``) because this phase
+#                 overwrites inbuf slice 0
+#   phase 1:      second half of the forward transform + ring insert
+#                 (+ its assigned MAC band)
+#   phase r>=1:   assigned frequency band(s) of the tail MAC — all
+#                 partitions, one Hp/R slice of the spectrum, written once
+#                 into a carried accumulator (banding by FREQUENCY instead
+#                 of partitions means no accumulator read-modify-write)
 #   phase R-1:    last band + the inverse transform; z is appended to a
 #                 pending queue of depth D-1 (one less than step_nu's: the
 #                 append happens one cycle later, so the queue is one
 #                 shorter — same consumption schedule, invariant preserved:
 #                 z[k] appended at cycle k+1 reaches pending[0] for cycle
 #                 k+D exactly as before).
+#
+# The channel-split forward (R >= 4, C >= 2; single-phase otherwise) is
+# what brings the worst phase under 2x the mean: TPU r5 measured the
+# single-phase form at phase0 = 0.230 ms vs mean 0.085 (2.7x) with the
+# forward M-transform (~0.17 ms) dominating; halving it lands every phase
+# near 0.13-0.15 ms.
 #
 # Amortized cost and SNR are unchanged (same kernels, same arithmetic per
 # M-cycle; the banded MAC accumulates partitions per bin in the same order
@@ -642,12 +649,15 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
 
 class NuSplitState(NamedTuple):
     """Split-tail streaming state: the two engine states plus the banded
-    MAC accumulator and a depth-(D-1) pending queue."""
+    MAC accumulator, the staged forward transform, and a depth-(D-1)
+    pending queue."""
 
     head: K.HcState
     tail: K.HcState
     acc_r: jax.Array  # [C, Hp_t] f32 banded-MAC accumulator
     acc_i: jax.Array
+    xstage: jax.Array  # [2C, Hp_t] staged packed spectrum (phase-0 half)
+    mold: jax.Array  # [C, M] the completed M-block (staged at phase 0)
     inbuf: jax.Array  # [C, M]
     pending: jax.Array  # [D-1, C, M]
 
@@ -682,6 +692,8 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
         tail=tail,
         acc_r=jnp.zeros((n_channels, hp_t), acc_dt),
         acc_i=jnp.zeros((n_channels, hp_t), acc_dt),
+        xstage=jnp.zeros((2 * n_channels, hp_t), dtype=dt),
+        mold=jnp.zeros((n_channels, spec.m), dtype=dt),
         inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
         pending=jnp.zeros((max(1, spec.delay_blocks - 1), n_channels, spec.m),
                           dtype=dt),
@@ -697,6 +709,31 @@ def _split_band_mac(ring, coeff, pos, band: int, band_len: int,
                                    band_len)
 
 
+def _split_schedule(ratio: int, n_channels: int):
+    """Static phase plan: (fwd_split, bands_by_phase). With the two-phase
+    forward (R >= 4, C >= 2), bands run on phases 1..R-1 (after the ring
+    insert), the leftover band riding phase 2; the single-phase form keeps
+    band p on phase p."""
+    fwd_split = 2 if (ratio >= 4 and n_channels >= 2) else 1
+    if fwd_split == 1:
+        bands = {p: [p] for p in range(ratio)}
+    else:
+        bands = {p: [p - 1] for p in range(1, ratio)}
+        bands[2] = [1, ratio - 1]
+        bands[0] = []
+    return fwd_split, bands
+
+
+def _split_fwd_half(prev, mblock, rows, hp):
+    """rfft_split_hc of the overlap-save frame rows [rows.start, rows.stop)
+    -> packed [2*nrows, Hp] (re rows then im rows)."""
+    frame = jnp.concatenate([prev[rows], mblock[rows]], axis=-1)
+    hr, hi = F.rfft_split_hc(frame)
+    pad = hp - hr.shape[-1]
+    return (jnp.pad(hr, ((0, 0), (0, pad))),
+            jnp.pad(hi, ((0, 0), (0, pad))))
+
+
 def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
                  use_pallas: bool, interpret: bool):
     """One block at STATIC phase ``phase`` (python int) of the split-tail
@@ -708,6 +745,8 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
     c = state.inbuf.shape[0]
     hp_t = state.acc_r.shape[-1]
     band_len = hp_t // spec_ratio
+    fwd_split, bands = _split_schedule(spec_ratio, c)
+    c0 = c // 2
 
     head, y_head = K.step_hc(state.head, coeffs.head, block,
                              interpret=interpret, use_pallas=use_pallas)
@@ -717,29 +756,59 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
     tail_slice = jax.lax.dynamic_slice(state.pending[0], (zero, off), (c, n))
 
     tail = state.tail
-    if phase == 0:
-        # the M-block completed last cycle (state.inbuf, BEFORE this
-        # block's slice-0 overwrite) enters the tail ring now
-        p_t = tail.ring.shape[0]
-        mold, xpk = K._hc_frame_spectrum(tail, state.inbuf, tail.ring.shape[-1])
-        pos = jnp.mod(tail.blockcounter, p_t)
-        ring = jax.lax.dynamic_update_slice(
-            tail.ring, xpk[None].astype(tail.ring.dtype), (pos, zero, zero))
-        tail = K.HcState(ring, mold, tail.blockcounter + 1)
+    xstage = state.xstage
+    mold = state.mold
+    if fwd_split == 1:
+        if phase == 0:
+            # the M-block completed last cycle (state.inbuf, BEFORE this
+            # block's slice-0 overwrite) enters the tail ring now
+            p_t = _ring_shape(tail.ring)[0]
+            mold, xpk = K._hc_frame_spectrum(tail, state.inbuf, hp_t)
+            pos = jnp.mod(tail.blockcounter, p_t)
+            ring = jax.lax.dynamic_update_slice(
+                tail.ring, xpk[None].astype(tail.ring.dtype),
+                (pos, zero, zero))
+            tail = K.HcState(ring, mold, tail.blockcounter + 1)
+    else:
+        if phase == 0:
+            # stage the completed M-block (this phase overwrites inbuf
+            # slice 0) and the first half of its forward transform
+            mold = state.inbuf
+            hr, hi = _split_fwd_half(tail.prev_block, mold, slice(0, c0),
+                                     hp_t)
+            xstage = jax.lax.dynamic_update_slice(xstage, hr, (zero, zero))
+            xstage = jax.lax.dynamic_update_slice(
+                xstage, hi, (jnp.asarray(c, jnp.int32), zero))
+        elif phase == 1:
+            # second half + ring insert of the completed spectrum
+            hr, hi = _split_fwd_half(tail.prev_block, mold, slice(c0, c),
+                                     hp_t)
+            xstage = jax.lax.dynamic_update_slice(
+                xstage, hr, (jnp.asarray(c0, jnp.int32), zero))
+            xstage = jax.lax.dynamic_update_slice(
+                xstage, hi, (jnp.asarray(c + c0, jnp.int32), zero))
+            p_t = _ring_shape(tail.ring)[0]
+            pos = jnp.mod(tail.blockcounter, p_t)
+            ring = jax.lax.dynamic_update_slice(
+                tail.ring, xstage[None].astype(tail.ring.dtype),
+                (pos, zero, zero))
+            tail = K.HcState(ring, mold, tail.blockcounter + 1)
 
     inbuf = jax.lax.dynamic_update_slice(
         state.inbuf, block.astype(state.inbuf.dtype), (zero, off))
 
-    # band MAC: the ring position of the newest slot is (counter-1) mod P
-    p_t = tail.ring.shape[0]
+    # band MAC(s): the ring position of the newest slot is (counter-1) mod P
+    acc_r, acc_i = state.acc_r, state.acc_i
+    p_t = _ring_shape(tail.ring)[0]
     pos_now = jnp.mod(tail.blockcounter - 1, p_t)
-    br, bi = _split_band_mac(tail.ring, coeffs.tail, pos_now, phase,
-                             band_len, use_pallas, interpret)
-    boff = jnp.asarray(phase * band_len, jnp.int32)
-    acc_r = jax.lax.dynamic_update_slice(
-        state.acc_r, br.astype(state.acc_r.dtype), (zero, boff))
-    acc_i = jax.lax.dynamic_update_slice(
-        state.acc_i, bi.astype(state.acc_i.dtype), (zero, boff))
+    for band in bands[phase]:
+        br, bi = _split_band_mac(tail.ring, coeffs.tail, pos_now, band,
+                                 band_len, use_pallas, interpret)
+        boff = jnp.asarray(band * band_len, jnp.int32)
+        acc_r = jax.lax.dynamic_update_slice(
+            acc_r, br.astype(acc_r.dtype), (zero, boff))
+        acc_i = jax.lax.dynamic_update_slice(
+            acc_i, bi.astype(acc_i.dtype), (zero, boff))
 
     pending = state.pending
     if phase == spec_ratio - 1:
@@ -749,7 +818,8 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
         pending = jnp.concatenate([pending[1:], z[None]], axis=0)
 
     out = y_head + tail_slice
-    return NuSplitState(head, tail, acc_r, acc_i, inbuf, pending), out
+    return NuSplitState(head, tail, acc_r, acc_i, xstage, mold, inbuf,
+                        pending), out
 
 
 def step_nu_split(
