@@ -616,11 +616,12 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
 # M-block completing and its tail contribution being consumed), so the fire
 # can be SPREAD across the following cycle:
 #
-#   phase 0:      FIRST HALF of the forward M-transform (channel rows
-#                 [0, C/2) of the overlap-save frame), staged; the old
-#                 M-block is also staged (``mold``) because this phase
-#                 overwrites inbuf slice 0
-#   phase 1:      second half of the forward transform + ring insert
+#   phase 0:      FIRST HALF of the forward M-transform (real packing +
+#                 balanced four-step stage 1 + twiddle,
+#                 ops.fft.rfft_split_hc_partA), staged in the state; the
+#                 completed M-block moves to tail.prev_block here (this
+#                 phase overwrites inbuf slice 0)
+#   phase 1:      second half (stage 2 + untangle, partB) + ring insert
 #                 (+ its assigned MAC band)
 #   phase r>=1:   assigned frequency band(s) of the tail MAC — all
 #                 partitions, one Hp/R slice of the spectrum, written once
@@ -633,11 +634,13 @@ def process_blocks_nu_fast(state: NuState, coeffs: NuCoeffs,
 #                 z[k] appended at cycle k+1 reaches pending[0] for cycle
 #                 k+D exactly as before).
 #
-# The channel-split forward (R >= 4, C >= 2; single-phase otherwise) is
-# what brings the worst phase under 2x the mean: TPU r5 measured the
-# single-phase form at phase0 = 0.230 ms vs mean 0.085 (2.7x) with the
-# forward M-transform (~0.17 ms) dominating; halving it lands every phase
-# near 0.13-0.15 ms.
+# The STAGE-split forward (R >= 4; single-phase otherwise) is what brings
+# the worst phase under 2x the mean: TPU r5 measured the single-phase form
+# at phase0 = 0.230 ms vs mean 0.085 (2.7x) with the forward M-transform
+# (~0.17 ms) dominating. Splitting by CHANNEL halves does NOT work — at 64
+# rows the transform is pass-bound, not row-bound (measured: each half
+# costs nearly the full transform) — so the split rides the balanced
+# four-step's stage boundary instead (half the passes per phase).
 #
 # Amortized cost and SNR are unchanged (same kernels, same arithmetic per
 # M-cycle; the banded MAC accumulates partitions per bin in the same order
@@ -656,8 +659,7 @@ class NuSplitState(NamedTuple):
     tail: K.HcState
     acc_r: jax.Array  # [C, Hp_t] f32 banded-MAC accumulator
     acc_i: jax.Array
-    xstage: jax.Array  # [2C, Hp_t] staged packed spectrum (phase-0 half)
-    mold: jax.Array  # [C, M] the completed M-block (staged at phase 0)
+    xstage: jax.Array  # [2C, Hp_t] staged mid-transform planes (phase 0)
     inbuf: jax.Array  # [C, M]
     pending: jax.Array  # [D-1, C, M]
 
@@ -693,7 +695,6 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
         acc_r=jnp.zeros((n_channels, hp_t), acc_dt),
         acc_i=jnp.zeros((n_channels, hp_t), acc_dt),
         xstage=jnp.zeros((2 * n_channels, hp_t), dtype=dt),
-        mold=jnp.zeros((n_channels, spec.m), dtype=dt),
         inbuf=jnp.zeros((n_channels, spec.m), dtype=dt),
         pending=jnp.zeros((max(1, spec.delay_blocks - 1), n_channels, spec.m),
                           dtype=dt),
@@ -711,10 +712,10 @@ def _split_band_mac(ring, coeff, pos, band: int, band_len: int,
 
 def _split_schedule(ratio: int, n_channels: int):
     """Static phase plan: (fwd_split, bands_by_phase). With the two-phase
-    forward (R >= 4, C >= 2), bands run on phases 1..R-1 (after the ring
+    staged forward (R >= 4), bands run on phases 1..R-1 (after the ring
     insert), the leftover band riding phase 2; the single-phase form keeps
     band p on phase p."""
-    fwd_split = 2 if (ratio >= 4 and n_channels >= 2) else 1
+    fwd_split = 2 if ratio >= 4 else 1
     if fwd_split == 1:
         bands = {p: [p] for p in range(ratio)}
     else:
@@ -722,16 +723,6 @@ def _split_schedule(ratio: int, n_channels: int):
         bands[2] = [1, ratio - 1]
         bands[0] = []
     return fwd_split, bands
-
-
-def _split_fwd_half(prev, mblock, rows, hp):
-    """rfft_split_hc of the overlap-save frame rows [rows.start, rows.stop)
-    -> packed [2*nrows, Hp] (re rows then im rows)."""
-    frame = jnp.concatenate([prev[rows], mblock[rows]], axis=-1)
-    hr, hi = F.rfft_split_hc(frame)
-    pad = hp - hr.shape[-1]
-    return (jnp.pad(hr, ((0, 0), (0, pad))),
-            jnp.pad(hi, ((0, 0), (0, pad))))
 
 
 def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
@@ -746,7 +737,6 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
     hp_t = state.acc_r.shape[-1]
     band_len = hp_t // spec_ratio
     fwd_split, bands = _split_schedule(spec_ratio, c)
-    c0 = c // 2
 
     head, y_head = K.step_hc(state.head, coeffs.head, block,
                              interpret=interpret, use_pallas=use_pallas)
@@ -757,7 +747,6 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
 
     tail = state.tail
     xstage = state.xstage
-    mold = state.mold
     if fwd_split == 1:
         if phase == 0:
             # the M-block completed last cycle (state.inbuf, BEFORE this
@@ -771,28 +760,33 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
             tail = K.HcState(ring, mold, tail.blockcounter + 1)
     else:
         if phase == 0:
-            # stage the completed M-block (this phase overwrites inbuf
-            # slice 0) and the first half of its forward transform
+            # first half of the forward M-transform (stage 1 of the
+            # balanced four-step, ops.fft.rfft_split_hc_partA) from the
+            # frame [prev M-block | completed M-block]; the completed
+            # block moves to tail.prev_block (this phase overwrites inbuf
+            # slice 0), the staged planes ride the state
             mold = state.inbuf
-            hr, hi = _split_fwd_half(tail.prev_block, mold, slice(0, c0),
-                                     hp_t)
-            xstage = jax.lax.dynamic_update_slice(xstage, hr, (zero, zero))
-            xstage = jax.lax.dynamic_update_slice(
-                xstage, hi, (jnp.asarray(c, jnp.int32), zero))
+            frame = jnp.concatenate([tail.prev_block, mold], axis=-1)
+            ar, ai = F.rfft_split_hc_partA(frame)
+            pad = hp_t - ar.shape[-1]
+            xstage = jnp.concatenate(
+                [jnp.pad(ar, ((0, 0), (0, pad))),
+                 jnp.pad(ai, ((0, 0), (0, pad)))], axis=0)
+            tail = K.HcState(tail.ring, mold, tail.blockcounter)
         elif phase == 1:
-            # second half + ring insert of the completed spectrum
-            hr, hi = _split_fwd_half(tail.prev_block, mold, slice(c0, c),
-                                     hp_t)
-            xstage = jax.lax.dynamic_update_slice(
-                xstage, hr, (jnp.asarray(c0, jnp.int32), zero))
-            xstage = jax.lax.dynamic_update_slice(
-                xstage, hi, (jnp.asarray(c + c0, jnp.int32), zero))
+            # second half (stage 2 + untangle) + ring insert
+            hr, hi = F.rfft_split_hc_partB(xstage[:c, :m], xstage[c:, :m],
+                                           2 * m)
+            pad = hp_t - hr.shape[-1]
+            xpk = jnp.concatenate(
+                [jnp.pad(hr, ((0, 0), (0, pad))),
+                 jnp.pad(hi, ((0, 0), (0, pad)))], axis=0)
             p_t = _ring_shape(tail.ring)[0]
             pos = jnp.mod(tail.blockcounter, p_t)
             ring = jax.lax.dynamic_update_slice(
-                tail.ring, xstage[None].astype(tail.ring.dtype),
+                tail.ring, xpk[None].astype(tail.ring.dtype),
                 (pos, zero, zero))
-            tail = K.HcState(ring, mold, tail.blockcounter + 1)
+            tail = K.HcState(ring, tail.prev_block, tail.blockcounter + 1)
 
     inbuf = jax.lax.dynamic_update_slice(
         state.inbuf, block.astype(state.inbuf.dtype), (zero, off))
@@ -818,7 +812,7 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
         pending = jnp.concatenate([pending[1:], z[None]], axis=0)
 
     out = y_head + tail_slice
-    return NuSplitState(head, tail, acc_r, acc_i, xstage, mold, inbuf,
+    return NuSplitState(head, tail, acc_r, acc_i, xstage, inbuf,
                         pending), out
 
 

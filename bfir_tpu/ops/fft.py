@@ -186,6 +186,35 @@ def _cmatmul(ar, ai, br, bi):
     return rr, ri
 
 
+def _cfft_fourstep_stage1(yr, yi, m: int, inverse: bool):
+    """Stage 1 + twiddle of the balanced four-step (see _cfft_fourstep):
+    returns (tr, ti) [.., n1, n2] indexed [k1, j2] — the hand-off point of
+    the split-tail schedule's staged forward transform."""
+    rdt = yr.dtype.name
+    n1 = _split_factor(m)
+    n2 = m // n1
+    fb = yr.shape[:-1]
+    yr = yr.reshape(*fb, n1, n2)
+    yi = yi.reshape(*fb, n1, n2)
+    # DFT over j1 (axis -2): move to last axis for matmul
+    yr_t = jnp.swapaxes(yr, -1, -2)  # [.., n2, n1]
+    yi_t = jnp.swapaxes(yi, -1, -2)
+    cr1, ci1 = _cdft_weights(n1, rdt, inverse)
+    # forward small DFTs carry no scale; inverse scale folded at the end
+    s1 = n1 if inverse else 1
+    br1 = jnp.asarray(cr1 * s1)
+    bi1 = jnp.asarray(ci1 * s1)
+    ar, ai = _cmatmul(yr_t, yi_t, br1, bi1)  # [.., n2, n1] indexed [j2, k1]
+    # twiddle W_m^{±j2*k1}
+    twr, twi = _twiddle(m, n1, rdt, inverse)
+    twr_j = jnp.asarray(twr).T  # [n2, n1] indexed [j2, k1]
+    twi_j = jnp.asarray(twi).T
+    tr = ar * twr_j - ai * twi_j
+    ti = ar * twi_j + ai * twr_j
+    # DFT over j2 next: [.., n1, n2] indexed [k1, j2]
+    return jnp.swapaxes(tr, -1, -2), jnp.swapaxes(ti, -1, -2)
+
+
 def _cfft_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
     """Four-step FFT over the last axis on split re/im arrays [..., M].
 
@@ -205,32 +234,24 @@ def _cfft_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
     if flat:
         yr = yr.reshape(-1, m)
         yi = yi.reshape(-1, m)
-    fb = yr.shape[:-1]  # flattened batch
     # step 1: view as [.., n2, n1] (column-major split: index = k2*n1 + k1
     # -> x[k1 stride n2?]). Standard decimation: x[j], j = j1*n2 + j2;
     # X[k2*n1 + k1] = sum_{j1,j2} x[j1*n2+j2] W_m^{(j1*n2+j2)(k1... } —
     # implement as: A[j2, j1] = x[j1*n2 + j2]; B = DFT_n1 over j1;
     # B *= twiddle(j2, k1); C = DFT_n2 over j2; X[k1*n2 + k2] = C[k2, k1].
-    yr = yr.reshape(*fb, n1, n2)
-    yi = yi.reshape(*fb, n1, n2)
-    # DFT over j1 (axis -2): move to last axis for matmul
-    yr_t = jnp.swapaxes(yr, -1, -2)  # [.., n2, n1]
-    yi_t = jnp.swapaxes(yi, -1, -2)
-    cr1, ci1 = _cdft_weights(n1, rdt, inverse)
-    # forward small DFTs carry no scale; inverse scale folded at the end
-    s1 = n1 if inverse else 1
-    br1 = jnp.asarray(cr1 * s1)
-    bi1 = jnp.asarray(ci1 * s1)
-    ar, ai = _cmatmul(yr_t, yi_t, br1, bi1)  # [.., n2, n1] indexed [j2, k1]
-    # twiddle W_m^{±j2*k1}
-    twr, twi = _twiddle(m, n1, rdt, inverse)
-    twr_j = jnp.asarray(twr).T  # [n2, n1] indexed [j2, k1]
-    twi_j = jnp.asarray(twi).T
-    tr = ar * twr_j - ai * twi_j
-    ti = ar * twi_j + ai * twr_j
-    # DFT over j2 (axis -2 after swap): [.., n1, n2] indexed [k1, j2]
-    tr = jnp.swapaxes(tr, -1, -2)
-    ti = jnp.swapaxes(ti, -1, -2)
+    tr, ti = _cfft_fourstep_stage1(yr, yi, m, inverse)
+    orr, oi = _cfft_fourstep_stage2(tr, ti, m, inverse, k2_range)
+    mo = orr.shape[-1]
+    return orr.reshape(*batch, mo), oi.reshape(*batch, mo)
+
+
+def _cfft_fourstep_stage2(tr, ti, m: int, inverse: bool, k2_range=None):
+    """Stage 2 + output transpose of the balanced four-step; ``tr``/``ti``
+    are stage-1 outputs [.., n1, n2] (indexed [k1, j2]). Returns flattened
+    [.., M'] planes."""
+    rdt = tr.dtype.name
+    n1 = _split_factor(m)
+    n2 = m // n1
     cr2, ci2 = _cdft_weights(n2, rdt, inverse)
     s2 = n2 / m if inverse else 1  # total inverse scale = 1/m
     if k2_range is not None:  # emit only output columns with k2 in [lo, hi)
@@ -242,9 +263,10 @@ def _cfft_fourstep(yr, yi, m: int, inverse: bool, k2_range=None):
     orr, oi = _cmatmul(tr, ti, br2, bi2)  # [.., n1, n2] indexed [k1, k2]
     # output index is k2*n1 + k1 -> transpose before flattening
     mo = orr.shape[-1] * n1
-    orr = jnp.swapaxes(orr, -1, -2).reshape(*batch, mo)
-    oi = jnp.swapaxes(oi, -1, -2).reshape(*batch, mo)
-    return orr, oi  # reshape(*batch, mo) restores the original batch dims
+    fb = orr.shape[:-2]
+    orr = jnp.swapaxes(orr, -1, -2).reshape(*fb, mo)
+    oi = jnp.swapaxes(oi, -1, -2).reshape(*fb, mo)
+    return orr, oi
 
 
 def _cfft_fourstep_r4(yr, yi, m: int, inverse: bool):
@@ -884,6 +906,74 @@ def rfft_split_hc(x: jax.Array, n: Optional[int] = None):
     hr = xr[..., :h]
     hi = jnp.concatenate([xr[..., h : h + 1], xi[..., 1:h]], axis=-1)
     return hr, hi
+
+
+def rfft_hc_staged_eligible(m: int) -> bool:
+    """True when ``rfft_split_hc_partA``/``partB`` genuinely split the
+    forward transform at the balanced four-step's stage boundary (pow2 m
+    whose half-size cfft takes the balanced path on the matmul backend);
+    otherwise partA performs the whole transform and partB passes through.
+    Consumers: the split-tail schedule's two-phase forward
+    (core.nonuniform._split_phase), which needs each phase to carry about
+    half the transform's passes."""
+    if not _use_matmul():
+        return False
+    if not (m >= _FOUR_STEP_MIN and (m & (m - 1)) == 0):
+        return False
+    h = m // 2
+    r4 = h % 4 == 0 and 128 <= h // 4 and h <= _R4_MAX_H
+    return (not r4) and h >= _FOUR_STEP_MIN
+
+
+def rfft_split_hc_partA(x: jax.Array, n: Optional[int] = None):
+    """First half of ``rfft_split_hc``: real packing + balanced four-step
+    stage 1 + twiddle. Returns opaque staged planes [..., n//2] to be
+    finished by ``rfft_split_hc_partB`` (which recomputes the same static
+    eligibility decision). When the geometry/backend is not
+    ``rfft_hc_staged_eligible``, partA computes the full halfcomplex
+    transform and partB is a pass-through — callers stay correct at any
+    size, they just lose the cost balancing."""
+    m = n or x.shape[-1]
+    x = _pad_last(x, m)
+    if not rfft_hc_staged_eligible(m):
+        hr, hi = rfft_split_hc(x, n=m)
+        return hr, hi
+    h = m // 2
+    zr = x[..., 0::2]
+    zi = x[..., 1::2]
+    tr, ti = _cfft_fourstep_stage1(zr, zi, h, inverse=False)
+    fb = tr.shape[:-2]
+    return tr.reshape(*fb, h), ti.reshape(*fb, h)
+
+
+def rfft_split_hc_partB(ar: jax.Array, ai: jax.Array, n: int):
+    """Second half of ``rfft_split_hc_partA``: balanced stage 2 + the
+    real-packing untangle + halfcomplex extraction -> (hr, hi) [..., n//2]."""
+    m = n
+    if not rfft_hc_staged_eligible(m):
+        return ar, ai  # partA already finished the transform
+    h = m // 2
+    n1 = _split_factor(h)
+    fb = ar.shape[:-1]
+    tr = ar.reshape(*fb, n1, h // n1)
+    ti = ai.reshape(*fb, n1, h // n1)
+    zr, zi = _cfft_fourstep_stage2(tr, ti, h, inverse=False)
+    # untangle (rfft_split's real-packing unpack, halfcomplex form)
+    zr_rev = jnp.concatenate([zr[..., :1], zr[..., :0:-1]], axis=-1)
+    zi_rev = jnp.concatenate([zi[..., :1], zi[..., :0:-1]], axis=-1)
+    a_r = 0.5 * (zr + zr_rev)
+    a_i = 0.5 * (zi - zi_rev)
+    b_r = 0.5 * (zi + zi_rev)
+    b_i = -0.5 * (zr - zr_rev)
+    twr, twi = _half_twiddle(m, zr.dtype.name)
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    xr = a_r + twr * b_r - twi * b_i
+    xi = a_i + twr * b_i + twi * b_r
+    # halfcomplex planes: re = X[0..h).re; im lane 0 = X[h].re = ReZ0 - ImZ0
+    last_r = zr[..., :1] - zi[..., :1]
+    hi_pl = jnp.concatenate([last_r, xi[..., 1:h]], axis=-1)
+    return xr, hi_pl
 
 
 def irfft_split_hc(hr: jax.Array, hi: jax.Array, n: Optional[int] = None) -> jax.Array:
