@@ -680,13 +680,20 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
     dt = jnp.dtype(spec.dtype)
     hp_t = -(-spec.m // 128) * 128
     split_band_len(spec)  # geometry check
-    if spec.tail_store in ("int16", "int24") or spec.head_store != "float32":
+    if spec.head_store != "float32":
         raise ValueError(
-            "split-tail schedule does not support integer tail storage yet "
-            "(the banded MAC kernel streams float planes); use step_nu")
+            "split-tail schedule supports integer storage on the TAIL only "
+            "(the head runs the plain hc step); set head_store='float32'")
     tail = K.init_hc_state(spec.tail_spec, n_channels)
     if spec.tail_store == "bfloat16":
         tail = tail._replace(ring=tail.ring.astype(jnp.bfloat16))
+    elif spec.tail_store in ("int16", "int24"):
+        p, c2, hp = tail.ring.shape
+        tail = tail._replace(ring=K.IntPlanes(
+            hi=jnp.zeros((p, c2, hp), jnp.int16),
+            lo=(jnp.zeros((p, c2, hp), jnp.uint8)
+                if spec.tail_store == "int24" else None),
+            scale=jnp.full((p, c2, 128), 1e-30, jnp.float32)))
     # accumulate in f32 for f32/bf16 engines, in the engine dtype otherwise
     acc_dt = jnp.float32 if dt == jnp.float32 else dt
     return NuSplitState(
@@ -703,6 +710,13 @@ def init_nu_split_state(spec: NuSpec, n_channels: int) -> NuSplitState:
 
 def _split_band_mac(ring, coeff, pos, band: int, band_len: int,
                     use_pallas: bool, interpret: bool):
+    if isinstance(ring, K.IntPlanes):
+        if use_pallas:
+            return K.mac_pallas_hc_band_int(ring, coeff, pos,
+                                            band * band_len, band_len,
+                                            interpret=interpret)
+        return K.mac_reference_hc_band_int(ring, coeff, pos,
+                                           band * band_len, band_len)
     if use_pallas:
         return K.mac_pallas_hc_band(ring, coeff, pos, band * band_len,
                                     band_len, interpret=interpret)
@@ -754,9 +768,7 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
             p_t = _ring_shape(tail.ring)[0]
             mold, xpk = K._hc_frame_spectrum(tail, state.inbuf, hp_t)
             pos = jnp.mod(tail.blockcounter, p_t)
-            ring = jax.lax.dynamic_update_slice(
-                tail.ring, xpk[None].astype(tail.ring.dtype),
-                (pos, zero, zero))
+            ring = _ring_insert(tail.ring, xpk, pos)
             tail = K.HcState(ring, mold, tail.blockcounter + 1)
     else:
         if phase == 0:
@@ -783,9 +795,7 @@ def _split_phase(state: NuSplitState, coeffs: NuCoeffs, block, phase: int,
                  jnp.pad(hi, ((0, 0), (0, pad)))], axis=0)
             p_t = _ring_shape(tail.ring)[0]
             pos = jnp.mod(tail.blockcounter, p_t)
-            ring = jax.lax.dynamic_update_slice(
-                tail.ring, xpk[None].astype(tail.ring.dtype),
-                (pos, zero, zero))
+            ring = _ring_insert(tail.ring, xpk, pos)
             tail = K.HcState(ring, tail.prev_block, tail.blockcounter + 1)
 
     inbuf = jax.lax.dynamic_update_slice(

@@ -865,6 +865,127 @@ def mac_pallas_hc_tiled_int(ring: IntPlanes, coeff: IntPlanes, pos,
     return yr, yi
 
 
+@functools.partial(jax.jit, static_argnames=("band_start", "band_len",
+                                             "interpret"))
+def mac_pallas_hc_band_int(ring: IntPlanes, coeff: IntPlanes, pos,
+                           band_start: int, band_len: int,
+                           interpret: bool = False):
+    """``mac_pallas_hc_band`` on block-scaled integer planes: one frequency
+    band, all partitions, int16(+int8) streamed from HBM and decoded on the
+    VPU — the split-tail schedule composed with the int24/int16 storage
+    tiers. Returns (yr, yi) [C, band_len] f32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, c2, hp = ring.hi.shape
+    c = c2 // 2
+    cs = coeff.hi.shape[1] // 2
+    i24_r = ring.lo is not None
+    i24_c = coeff.lo is not None
+    if band_start % 128 or band_len % 128:
+        raise ValueError("band must be 128-lane aligned")
+    if band_start % band_len:
+        raise ValueError("band_start must be a multiple of band_len")
+    fb = band_start // band_len
+
+    def kernel(pos_ref, *refs):
+        it = iter(refs)
+        r_hi = next(it)
+        r_lo = next(it) if i24_r else None
+        r_s = next(it)
+        g_hi = next(it)
+        g_lo = next(it) if i24_c else None
+        g_s = next(it)
+        yr, yi = next(it), next(it)
+        i = pl.program_id(0)
+
+        def dec(hi_ref, lo_ref, s_ref):
+            q = hi_ref[0].astype(jnp.int32) * 256 if lo_ref is not None \
+                else hi_ref[0].astype(jnp.int32)
+            if lo_ref is not None:
+                q = q + lo_ref[0].astype(jnp.int32)
+            return q.astype(jnp.float32) * s_ref[0][:, :1]
+
+        r = dec(r_hi, r_lo, r_s)
+        g = dec(g_hi, g_lo, g_s)
+        rr, ri = r[:c, :], r[c:, :]
+        cr, ci = g[:cs, :], g[cs:, :]
+        p1 = cr * rr
+        p2 = ci * ri
+        if band_start == 0:
+            dc = jax.lax.broadcasted_iota(jnp.int32, (c, band_len), 1) == 0
+            a_r = jnp.where(dc, p1, p1 - p2)
+            a_i = jnp.where(dc, p2, cr * ri + ci * rr)
+        else:
+            a_r = p1 - p2
+            a_i = cr * ri + ci * rr
+
+        @pl.when(i == 0)
+        def _():
+            yr[:] = a_r
+            yi[:] = a_i
+
+        @pl.when(i > 0)
+        def _():
+            yr[:] = yr[:] + a_r
+            yi[:] = yi[:] + a_i
+
+    def ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, fb)
+
+    def coeff_map(i, pos_ref):
+        return (i, 0, fb)
+
+    def s_ring_map(i, pos_ref):
+        return ((pos_ref[0] - i) % p, 0, 0)
+
+    def s_coeff_map(i, pos_ref):
+        return (i, 0, 0)
+
+    in_specs = [pl.BlockSpec((1, c2, band_len), ring_map)]
+    args = [ring.hi]
+    if i24_r:
+        in_specs.append(pl.BlockSpec((1, c2, band_len), ring_map))
+        args.append(ring.lo)
+    in_specs.append(pl.BlockSpec((1, c2, 128), s_ring_map))
+    args.append(ring.scale)
+    in_specs.append(pl.BlockSpec((1, 2 * cs, band_len), coeff_map))
+    args.append(coeff.hi)
+    if i24_c:
+        in_specs.append(pl.BlockSpec((1, 2 * cs, band_len), coeff_map))
+        args.append(coeff.lo)
+    in_specs.append(pl.BlockSpec((1, 2 * cs, 128), s_coeff_map))
+    args.append(coeff.scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((c, band_len), lambda i, pos_ref: (0, 0)),
+            pl.BlockSpec((c, band_len), lambda i, pos_ref: (0, 0)),
+        ],
+    )
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, band_len), jnp.float32),
+            jax.ShapeDtypeStruct((c, band_len), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.reshape(pos.astype(jnp.int32), (1,)), *args)
+    return yr, yi
+
+
+def mac_reference_hc_band_int(ring: IntPlanes, coeff: IntPlanes, pos,
+                              band_start: int, band_len: int):
+    """jnp reference of ``mac_pallas_hc_band_int``."""
+    rp = dequantize_planes(ring)
+    cp = dequantize_planes(coeff)
+    return mac_reference_hc_band(rp, cp, pos, band_start, band_len)
+
+
 def mac_reference_hc_band(ring_pk, coeff_pk, pos, band_start: int,
                           band_len: int):
     """jnp reference of ``mac_pallas_hc_band`` (CPU path / tests)."""

@@ -920,11 +920,11 @@ def test_nu_int_tail_crossfade_runs():
     assert np.isfinite(np.asarray(y)).all()
 
 
-def test_split_tail_rejects_int_store():
-    with pytest.raises(ValueError, match="integer tail"):
+def test_split_tail_rejects_int_head_store():
+    with pytest.raises(ValueError, match="TAIL only"):
         NU.init_nu_split_state(
             NU.NuSpec(block_length=128, ratio=2, p_head=4, p_tail=2,
-                      tail_store="int24"), 2)
+                      head_store="int24"), 2)
 
 
 @pytest.mark.parametrize("store,min_snr", [("int24", 115.0), ("int16", 75.0)])
@@ -1038,3 +1038,35 @@ def test_split_tail_staged_forward_matches_step_nu():
                                        err_msg=f"block {b}")
     finally:
         F._FORCE = old
+
+
+def test_split_tail_int24_matches_step_nu():
+    """Split schedule composed with the int24 tail store (banded int
+    kernel): matches step_nu on the same int-stored geometry, both the
+    reference and interpret-kernel paths."""
+    rng = np.random.default_rng(98)
+    spec = NU.NuSpec(block_length=128, ratio=4, p_head=8, p_tail=2,
+                     tail_store="int24")
+    c = 3
+    h = (rng.standard_normal((c, spec.max_taps)) * 0.1).astype(np.float32)
+    co = NU.nu_coeffs(h, spec, c)
+    st_a = NU.init_nu_state(spec, c)
+    st_b = NU.init_nu_split_state(spec, c)
+    from bfir_tpu.kernels import spectrum_mac as K
+
+    assert isinstance(st_b.tail.ring, K.IntPlanes)
+    st_k = NU.init_nu_split_state(spec, c)
+    n = spec.block_length
+    nblocks = (spec.delay_blocks + 3) * spec.ratio
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st_a, ya = NU.step_nu(st_a, co, blk, use_pallas=False)
+        st_b, yb = NU.step_nu_split(st_b, co, blk, use_pallas=False)
+        st_k, yk = NU.step_nu_split(st_k, co, blk, interpret=True,
+                                    use_pallas=True)
+        scale = max(1.0, float(np.abs(np.asarray(ya)).max()))
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
+        np.testing.assert_allclose(np.asarray(yk), np.asarray(yb),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
