@@ -442,8 +442,63 @@ def bench_bulk(h, jnp, jax, n_iters):
     dsamp = (nb2 - nb1) * b * m
     per_samp = max((min(times[nb2]) - min(times[nb1])) / dsamp, 1e-15)
     sps = CHANNELS / per_samp
-    log(f"bulk: {per_samp*BLOCK*1e3:.3f} ms/1024-frames-equiv (differential "
-        f"NB={nb1}/{nb2}) -> {sps/1e6:.0f} M samples/s")
+    log(f"bulk (batched M-form): {per_samp*BLOCK*1e3:.3f} ms/1024-frames-"
+        f"equiv (differential NB={nb1}/{nb2}) -> {sps/1e6:.0f} M samples/s")
+    if on_cpu:
+        return sps, s
+
+    # the RENDER path's engine for long filters (core/bulk.py): the
+    # split-tail scan with the int24 tail store — measured r5 the fastest
+    # >=125 dB schedule on the chip. Scipy-verified, then the differential
+    # floor; bulk_sps reports the best form (what render() actually runs).
+    try:
+        from bfir_tpu.core import nonuniform as NU
+
+        spec_nu = NU.nu_geometry(h.shape[-1], BLOCK, ratio=8,
+                                 tail_store="int24")
+        co_nu = NU.nu_coeffs(h, spec_nu, CHANNELS)
+        scan = jax.jit(lambda st, co_, blocks: NU.process_blocks_nu_split(
+            st, co_, blocks, use_pallas=True), donate_argnums=0)
+        ncheck = (spec_nu.delay_blocks + 3) * spec_nu.ratio
+        xs = np.random.default_rng(14).standard_normal(
+            (CHANNELS, ncheck * BLOCK)).astype(np.float32)
+        blocks2 = jnp.asarray(
+            xs.reshape(CHANNELS, ncheck, BLOCK).transpose(1, 0, 2))
+        st = NU.init_nu_split_state(spec_nu, CHANNELS)
+        st, out = scan(st, co_nu, blocks2)
+        y2 = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+        ref2 = signal.fftconvolve(xs.astype(np.float64),
+                                  h.astype(np.float64),
+                                  axes=1)[:, : y2.shape[1]]
+        s2 = worst_channel_snr(y2, ref2)
+        log(f"bulk render engine (split+int24) worst-channel SNR: {s2:.1f} dB")
+        if s2 >= 125:
+            rng2 = np.random.default_rng(15)
+            k1, k2 = 16, 144
+            pools = {k: [jax.device_put(rng2.standard_normal(
+                (k, CHANNELS, BLOCK)).astype(np.float32)) for _ in range(2)]
+                for k in (k1, k2)}
+            st3 = NU.init_nu_split_state(spec_nu, CHANNELS)
+            fl = {k1: [], k2: []}
+            for kk in (k1, k2):
+                st3, o = scan(st3, co_nu, pools[kk][0])
+                float(jnp.sum(o))
+            for _r in range(2):
+                for kk in (k1, k2):
+                    for i in range(6):
+                        t0 = time.time()
+                        st3, o = scan(st3, co_nu, pools[kk][i % 2])
+                        float(jnp.sum(o))
+                        fl[kk].append(time.time() - t0)
+            floor = max((min(fl[k2]) - min(fl[k1])) / (k2 - k1), 1e-9)
+            sps_nu = BLOCK * CHANNELS / floor
+            log(f"bulk render engine floor: {floor*1e3:.4f} ms/block -> "
+                f"{sps_nu/1e6:.0f} M samples/s")
+            if sps_nu > sps:
+                sps, s = sps_nu, min(s, s2)
+    except Exception as e:
+        log(f"bulk render-engine measurement failed "
+            f"({type(e).__name__}: {e})")
     return sps, s
 
 
