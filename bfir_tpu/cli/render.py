@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(same protocol as the reference plugin)")
     p.add_argument("--engine-mode",
                    choices=["auto", "complex", "packed", "hc", "nonuniform",
-                            "nonuniform3", "extended", "sharded"],
+                            "nonuniform_split", "nonuniform3", "extended",
+                            "sharded"],
                    default="auto",
                    help="compute path (default auto: halfcomplex Pallas on "
                         "TPU, complex jnp on CPU, df64 'extended' for "

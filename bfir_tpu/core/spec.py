@@ -361,11 +361,13 @@ class EngineConfig:
     sharded_local: str = "auto"
 
     def __post_init__(self):
-        if self.engine_mode not in ("auto", "complex", "packed", "hc", "nonuniform",
+        if self.engine_mode not in ("auto", "complex", "packed", "hc",
+                                    "nonuniform", "nonuniform_split",
                                     "nonuniform3", "extended", "sharded"):
             raise ValueError(
                 "engine_mode must be auto/complex/packed/hc/nonuniform/"
-                f"nonuniform3/extended/sharded, got {self.engine_mode!r}")
+                "nonuniform_split/nonuniform3/extended/sharded, "
+                f"got {self.engine_mode!r}")
         if self.nu_tail_store not in ("auto", "float32", "bfloat16",
                                       "int16", "int24"):
             raise ValueError(

@@ -179,6 +179,14 @@ class StreamProcessor:
                 self._active = False
             return
         fspec = self._runtime_filter_spec
+        if self._impl == "nonuniform_split":
+            # live crossfade is not implemented on the split-tail engine:
+            # reconfigure = rebuild (the split schedule's staged
+            # mid-transform state has no two-filter bridging form yet;
+            # PARITY.md)
+            self._channels = 0
+            self._pending_swap = None
+            return
         if self._impl == "nonuniform3" and self._nu_old is not None:
             # a second change landing mid-transition on the three-stage
             # engine takes a full rebuild (the two-stage path handles this
@@ -326,6 +334,11 @@ class StreamProcessor:
 
             self._state = NU.init_nu_state(self._nuspec, self._channels)
             self._nu_old = None
+        elif self._impl == "nonuniform_split":
+            from bfir_tpu.core import nonuniform as NU
+
+            self._state = NU.init_nu_split_state(self._nuspec,
+                                                 self._channels)
         elif self._impl == "nonuniform3":
             from bfir_tpu.core import nonuniform as NU
 
@@ -441,6 +454,7 @@ class StreamProcessor:
         first = self._resolve_engine_mode()
         chain = {"extended": ["hc", "packed"], "hc": ["packed"],
                  "nonuniform": ["hc", "packed"],
+                 "nonuniform_split": ["nonuniform", "hc", "packed"],
                  "nonuniform3": ["nonuniform", "hc", "packed"],
                  # plain "sharded" auto-picks the nonuniform local engine on
                  # long filters; "sharded:uniform" forces the uniform local
@@ -589,6 +603,51 @@ class StreamProcessor:
             )
             step_call = self._step_packed
             init_state = lambda: K.init_hc_state(fspec, self._channels)
+        elif impl == "nonuniform_split":
+            from bfir_tpu.core import nonuniform as NU
+
+            n = fspec.block_length
+            taps = fspec.n_partitions * n
+            nuspec = NU.nu_geometry(
+                taps, n, ratio=8, dtype=fspec.dtype,
+                tail_store=self._resolve_nu_tail_store("nonuniform"))
+            if taps <= nuspec.p_head * n:
+                raise ValueError(
+                    f"filter ({taps} taps) too short for the split-tail "
+                    f"engine (head alone covers {nuspec.p_head * n})")
+            NU.split_band_len(nuspec)  # geometry check (128-lane bands)
+            self._nuspec = nuspec
+            self._coeffs = NU.nu_coeffs(
+                built.impulse, nuspec, self._channels, scale=built.scale,
+                precise=self.config.filter.dtype == "float64",
+                shared=self._impulse_shared(built.impulse))
+            interp = jax.default_backend() == "cpu"
+            up = not interp
+            self._step_packed = self._wjit(
+                lambda s, g, blk: NU.step_nu_split(s, g, blk,
+                                                   interpret=interp,
+                                                   use_pallas=up),
+                donate_argnums=0,
+            )
+            self._scan_nu = self._wjit(
+                lambda s, g, blocks: jax.lax.scan(
+                    lambda st, blk: NU.step_nu_split(st, g, blk,
+                                                     interpret=interp,
+                                                     use_pallas=up),
+                    s, blocks),
+                donate_argnums=0,
+            )
+            self._scan_nu_fast = self._wjit(
+                lambda s, g, blocks: NU.process_blocks_nu_split(
+                    s, g, blocks, interpret=interp, use_pallas=up),
+                donate_argnums=0,
+            )
+            step_call = self._step_packed
+            init_state = lambda: NU.init_nu_split_state(nuspec,
+                                                        self._channels)
+            pinfo("Engine: non-uniform partitions, split-tail schedule "
+                  "(head %u x %u + tail %u x %u, per-phase bands).",
+                  nuspec.p_head, n, nuspec.p_tail, nuspec.m)
         elif impl == "nonuniform":
             from bfir_tpu.core import nonuniform as NU
 
@@ -706,7 +765,7 @@ class StreamProcessor:
                           and self._sharded.local_impl == "nonuniform")
             sharded_nu3 = (impl == "sharded"
                            and self._sharded.local_impl == "nonuniform3")
-            if impl == "nonuniform" or sharded_nu:
+            if impl in ("nonuniform", "nonuniform_split") or sharded_nu:
                 n_blocks = (self._nuspec.delay_blocks + 2) * self._nuspec.ratio
             elif impl == "nonuniform3" or sharded_nu3:
                 # enough blocks that the FAR stage's first pending output
@@ -720,15 +779,16 @@ class StreamProcessor:
             # tail's energy deficit (NuSpec.tail_store doc) — the default
             # 80 dB gate would silently demote it to 'hc'. A miscompile is
             # still O(1) wrong (~4 dB), so 35 dB keeps the guard honest.
-            min_snr = (35.0 if (impl in ("nonuniform", "nonuniform3")
+            min_snr = (35.0 if (impl in ("nonuniform", "nonuniform_split",
+                                         "nonuniform3")
                                 or sharded_nu or sharded_nu3)
                        and self.config.nu_tail_store == "bfloat16"
                        else selfcheck.DEFAULT_MIN_SNR_DB)
             label = f"engine '{impl}'"
             extra = ""
             if self._nuspec is not None and (
-                    impl in ("nonuniform", "nonuniform3") or sharded_nu
-                    or sharded_nu3):
+                    impl in ("nonuniform", "nonuniform_split", "nonuniform3")
+                    or sharded_nu or sharded_nu3):
                 extra = repr(self._nuspec)
             if impl == "sharded":
                 # a miscompile can be mesh-shape- or local-impl-specific:
@@ -920,6 +980,7 @@ class StreamProcessor:
                     t_pipe0 = _time.perf_counter()
                 n_pipe += 1
                 if self._impl in ("packed", "hc", "extended", "nonuniform",
+                                  "nonuniform_split",
                                   "nonuniform3"):
                     self._state, out = self._step_packed(self._state, self._coeffs, block)
                 elif self._impl == "sharded":
@@ -1099,9 +1160,10 @@ class StreamProcessor:
             scan = self._scan_nu_fast if aligned else self._scan_nu
             self._state, outs = scan(self._state, self._coeffs,
                                      jax.numpy.asarray(blocks))
-        elif self._impl == "nonuniform":
+        elif self._impl in ("nonuniform", "nonuniform_split"):
             # M-cycle-aligned bulk work takes the cond-free macro scan
-            # (identical outputs; no per-block tail-state pass-through)
+            # (identical outputs; no per-block tail-state pass-through /
+            # switch)
             aligned = (self._nu_phase() == 0
                        and n_blocks % self._nuspec.ratio == 0)
             scan = self._scan_nu_fast if aligned else self._scan_nu

@@ -869,3 +869,47 @@ def test_nu_tail_store_auto_resolution(cache, tmp_path, monkeypatch):
     sp2 = StreamProcessor(dataclasses.replace(cfg, nu_tail_store="bfloat16"),
                           cache)
     assert sp2._resolve_nu_tail_store("nonuniform") == "bfloat16"
+
+
+def test_session_nonuniform_split_engine_mode(cache, tmp_path):
+    """engine_mode="nonuniform_split": the latency-smooth split-tail
+    schedule behind the session surface (per-block switch steps + aligned
+    bulk scan), scipy-verified; reconfigure is rebuild-only."""
+    import dataclasses
+
+    rng = np.random.default_rng(62)
+    taps = 7000  # > head coverage at block 256 (16*256)
+    h = rng.standard_normal((2, taps)) * 0.05
+    p = save_impulse(tmp_path, "hsplit.wav", h)
+    cfg = dataclasses.replace(
+        make_config(tmp_path, files=[(p, 0, False)], dtype="float32"),
+        engine_mode="nonuniform_split")
+    sp = StreamProcessor(cfg, cache)
+    x = rng.standard_normal((2, 48 * 256)).astype(np.float32)
+    y = sp.process(x)
+    assert sp._impl == "nonuniform_split", sp._impl
+    ref = np.stack([signal.fftconvolve(x[c], h[c])[: y.shape[1]]
+                    for c in range(2)])
+    snr = 10 * np.log10(float((ref**2).sum()) / float(((y - ref)**2).sum()))
+    assert snr > 110, snr
+
+    # bulk path: aligned buffers take the cond-free scan
+    sp.reset()
+    x2 = rng.standard_normal((2, 64 * 256)).astype(np.float32)
+    y2 = sp.process_buffer(x2)
+    ref2 = np.stack([signal.fftconvolve(x2[c], h[c])[: y2.shape[1]]
+                     for c in range(2)])
+    snr2 = 10 * np.log10(float((ref2**2).sum())
+                         / float(((y2 - ref2)**2).sum()))
+    assert snr2 > 110, snr2
+
+    # reconfigure = rebuild (no split crossfade)
+    h2 = h * 0.5
+    p2 = save_impulse(tmp_path, "hsplit2.wav", h2)
+    sp.reconfigure(dataclasses.replace(
+        make_config(tmp_path, files=[(p2, 0, False)], dtype="float32"),
+        engine_mode="nonuniform_split"))
+    assert sp._pending_swap is None
+    y3 = sp.process(x[:, : 24 * 256])
+    assert sp._impl == "nonuniform_split"
+    assert y3.shape == (2, 24 * 256)
