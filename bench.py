@@ -355,7 +355,50 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
                 f"{BLOCK*CHANNELS/i24_floor/1e6:.0f} M samples/s")
     except Exception as e:
         log(f"nu int24 measurement failed ({type(e).__name__}: {e})")
-    return (sps, floor, s, shared_floor, shared_snr, i24_floor, i24_snr)
+
+    # SPLIT-TAIL schedule with the int24 tail (r5): the session's
+    # engine_mode="nonuniform_split" / the bulk renderer's engine — the
+    # measured fastest >=125 dB streaming schedule (its phases overlap the
+    # tail work with head work better than the monolithic fire, and the
+    # per-block latency is near-uniform: PHASE_LAT artifact).
+    split_floor = None
+    split_snr = None
+    try:
+        spec_sp = NU.NuSpec(spec.block_length, spec.ratio, spec.p_head,
+                            spec.p_tail, spec.dtype,
+                            "float32" if on_cpu else "int24")
+        co_sp = NU.nu_coeffs(hh, spec_sp, CHANNELS)
+        scan_sp = _wjit(jax)(
+            lambda st, co_, blocks: NU.process_blocks_nu_split(
+                st, co_, blocks, interpret=on_cpu, use_pallas=not on_cpu),
+            donate_argnums=0)
+        st = NU.init_nu_split_state(spec_sp, CHANNELS)
+        st, out = scan_sp(st, co_sp, blocks)
+        y = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+        split_snr = worst_channel_snr(y, ref)
+        log(f"nu SPLIT(+int24) worst-channel SNR vs scipy: {split_snr:.1f} dB")
+        if split_snr >= 125:
+            fl = {k1: [], k2: []}
+            st3 = NU.init_nu_split_state(spec_sp, CHANNELS)
+            for kk in (k1, k2):
+                t0 = time.time()
+                st3, o = scan_sp(st3, co_sp, pools[kk][0])
+                float(jnp.sum(o))
+                log(f"nu-split compile (K={kk}): {time.time()-t0:.1f}s")
+            for _round in range(2):
+                for kk in (k1, k2):
+                    for i in range(max(4, n_iters // 3)):
+                        t0 = time.time()
+                        st3, o = scan_sp(st3, co_sp, pools[kk][i % 2])
+                        float(jnp.sum(o))
+                        fl[kk].append(time.time() - t0)
+            split_floor = max((min(fl[k2]) - min(fl[k1])) / (k2 - k1), 1e-9)
+            log(f"nu SPLIT device floor: {split_floor*1e3:.4f} ms/block -> "
+                f"{BLOCK*CHANNELS/split_floor/1e6:.0f} M samples/s")
+    except Exception as e:
+        log(f"nu split measurement failed ({type(e).__name__}: {e})")
+    return (sps, floor, s, shared_floor, shared_snr, i24_floor, i24_snr,
+            split_floor, split_snr)
 
 
 def bench_bulk(h, jnp, jax, n_iters):
@@ -966,12 +1009,13 @@ def _run_path(which: str):
         res["backend"] = backend
         print(json.dumps(res))
     elif which == "nustream":
-        (sps, floor, s, sh_floor, sh_snr, i24_floor,
-         i24_snr) = bench_streaming_nu(h, jnp, jax,
-                                       n_iters=5 if on_cpu else 40)
+        (sps, floor, s, sh_floor, sh_snr, i24_floor, i24_snr, sp_floor,
+         sp_snr) = bench_streaming_nu(h, jnp, jax,
+                                      n_iters=5 if on_cpu else 40)
         print(json.dumps({"sps": sps, "floor": floor, "snr": s,
                           "shared_floor": sh_floor, "shared_snr": sh_snr,
                           "int24_floor": i24_floor, "int24_snr": i24_snr,
+                          "split_floor": sp_floor, "split_snr": sp_snr,
                           "backend": backend}))
     else:
         sps, p50, p99, rt_ms, floor, s = bench_streaming(
@@ -1044,10 +1088,17 @@ def main():
     if (nustream.get("int24_floor")
             and (nustream.get("int24_snr") or 0.0) >= 125.0):
         nu_i24_sps = BLOCK * CHANNELS / nustream["int24_floor"]
-    value = max(stream_sps, batch_sps, nu_sps, nu_i24_sps)
+    # the split-tail schedule (session engine_mode="nonuniform_split" /
+    # the bulk renderer's engine), gated at >=125 dB like the int24 tier
+    nu_split_sps = 0.0
+    if (nustream.get("split_floor")
+            and (nustream.get("split_snr") or 0.0) >= 125.0):
+        nu_split_sps = BLOCK * CHANNELS / nustream["split_floor"]
+    value = max(stream_sps, batch_sps, nu_sps, nu_i24_sps, nu_split_sps)
     mode = {stream_sps: "streaming", uniform_batch_sps: "batch",
             bulk_sps: "bulk-render", nu_sps: "nonuniform-streaming",
-            nu_i24_sps: "nonuniform-streaming-int24"}[value]
+            nu_i24_sps: "nonuniform-streaming-int24",
+            nu_split_sps: "nonuniform-split-streaming"}[value]
     realtime = 44100.0 * CHANNELS
     print(json.dumps({
         "metric": "audio samples/sec/chip, 64ch x 131072-tap partitioned conv "
@@ -1085,6 +1136,13 @@ def main():
                              if sock.get("sps") else None),
         "socket_snr_db": (round(sock["snr"], 1)
                           if sock.get("snr") is not None else None),
+        "nu_split_floor_ms": (round(nustream["split_floor"] * 1e3, 4)
+                              if nustream.get("split_floor") else None),
+        "nu_split_sps": (round(BLOCK * CHANNELS / nustream["split_floor"], 1)
+                         if nustream.get("split_floor") else None),
+        "nu_split_snr_db": (round(nustream["split_snr"], 1)
+                            if nustream.get("split_snr") is not None
+                            else None),
         "nu_int24_floor_ms": (round(nustream["int24_floor"] * 1e3, 4)
                               if nustream.get("int24_floor") else None),
         "nu_int24_sps": (round(BLOCK * CHANNELS / nustream["int24_floor"], 1)
