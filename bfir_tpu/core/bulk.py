@@ -5,12 +5,15 @@ one-block latency constraint: a 1024-sample block must produce its output
 before the next arrives, which forces small partitions (or the two-stage
 schedule) and per-block dispatches. Offline rendering has NO latency
 constraint — the whole input exists up front — so the optimal geometry is
-different: re-partition the SAME filter at a large block size M (fewer,
-fatter partitions: 131072 taps = 16 partitions at M=8192 instead of 128 at
-N=1024) and run the batched block-axis-FFT formulation
-(``core.convolver.process_batch``) over many M-blocks per dispatch. The
-per-sample MAC/ring HBM traffic drops by the partition-count ratio, and the
-transforms run at bulk shapes where the MXU is actually filled.
+different. Two engines, selection measured on the target TPU:
+
+- LONG filters (>= ``NU_BULK_MIN_TAPS``): the split-tail non-uniform scan
+  with the int24 tail store — the fastest verified >=125 dB schedule on
+  the chip (r5: 0.0796-0.092 ms per 1024-frame block across tunnel
+  windows).
+- shorter filters: re-partition at a large block size M (fewer, fatter
+  partitions) and run the batched block-axis-FFT formulation
+  (``core.convolver.process_batch``) over many M-blocks per dispatch.
 
 Outputs are the exact linear convolution either way (overlap-save is exact
 at any block size), so a bulk render is interchangeable with the streaming
