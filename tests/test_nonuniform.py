@@ -1010,34 +1010,54 @@ def test_nu_int_head_crossfade_converges():
 
 def test_split_tail_staged_forward_matches_step_nu():
     """The STAGED two-phase forward (the real TPU path: balanced four-step
-    stage boundary) on a forced-matmul CPU run, at a geometry where the
-    staged split is genuinely eligible (M = 8192 -> frame 16384)."""
-    from bfir_tpu.ops import fft as F
+    stage boundary) at a geometry where the staged split is genuinely
+    eligible (M = 8192 -> frame 16384), on a forced-matmul run.
 
-    old = F._FORCE
-    F._FORCE = "matmul"
-    try:
-        assert F.rfft_hc_staged_eligible(16384)
-        rng = np.random.default_rng(97)
-        spec = NU.NuSpec(block_length=1024, ratio=8, p_head=16, p_tail=2)
-        c = 2
-        h = (rng.standard_normal((c, spec.max_taps)) * 0.05).astype(np.float32)
-        co = NU.nu_coeffs(h, spec, c)
-        st_a = NU.init_nu_state(spec, c)
-        st_b = NU.init_nu_split_state(spec, c)
-        n = spec.block_length
-        nblocks = (spec.delay_blocks + 2) * spec.ratio
-        x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
-        for b in range(nblocks):
-            blk = x[:, b * n:(b + 1) * n]
-            st_a, ya = NU.step_nu(st_a, co, blk, use_pallas=False)
-            st_b, yb = NU.step_nu_split(st_b, co, blk, use_pallas=False)
-            scale = max(1.0, float(np.abs(np.asarray(ya)).max()))
-            np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
-                                       atol=2e-5 * scale,
-                                       err_msg=f"block {b}")
-    finally:
-        F._FORCE = old
+    Runs in a SUBPROCESS: the forced-matmul step graphs at this size have
+    segfaulted XLA's CPU compiler when compiled late in a long suite
+    (compile-arena pressure); a fresh interpreter compiles them reliably,
+    and a crash then fails THIS test instead of killing the pytest
+    process."""
+    import subprocess
+    import sys
+
+    script = r"""
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from bfir_tpu.ops import fft as F
+F._FORCE = "matmul"
+from bfir_tpu.core import nonuniform as NU
+assert F.rfft_hc_staged_eligible(16384)
+rng = np.random.default_rng(97)
+spec = NU.NuSpec(block_length=1024, ratio=8, p_head=16, p_tail=2)
+c = 2
+h = (rng.standard_normal((c, spec.max_taps)) * 0.05).astype(np.float32)
+co = NU.nu_coeffs(h, spec, c)
+st_a = NU.init_nu_state(spec, c)
+st_b = NU.init_nu_split_state(spec, c)
+n = spec.block_length
+nblocks = (spec.delay_blocks + 2) * spec.ratio
+x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+for b in range(nblocks):
+    blk = x[:, b * n:(b + 1) * n]
+    st_a, ya = NU.step_nu(st_a, co, blk, use_pallas=False)
+    st_b, yb = NU.step_nu_split(st_b, co, blk, use_pallas=False)
+    scale = max(1.0, float(np.abs(np.asarray(ya)).max()))
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               atol=2e-5 * scale, err_msg=f"block {b}")
+print("STAGED_OK")
+"""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=600, env=env, cwd=repo)
+    assert r.returncode == 0 and "STAGED_OK" in r.stdout, (
+        r.stdout[-2000:] + r.stderr[-2000:])
+
 
 
 def test_split_tail_int24_matches_step_nu():
