@@ -2,15 +2,19 @@
 
 Measures the partitioned convolution engine at 64 channels x 131072 taps
 (128 partitions x 1024-sample blocks, float32) on one chip and prints ONE
-JSON line. Four paths are measured:
+JSON line. Eight paths are measured:
 
 - streaming: per-block dispatch through the halfcomplex Pallas step, both
   sync (p50 latency) and pipelined-with-async-fetch (the session's actual
   dispatch pattern), plus the differential device floor
 - nustream: the two-stage non-uniform engine (the auto mode for long
-  filters; measured 0.100 ms/block device floor vs 0.218 uniform)
+  filters) — f32, shared-filter, int24-tail and split-tail(+int24) floors
 - batch: `process_batch` (block-axis FFT over 240 blocks per dispatch)
+- bulk: the offline render path (core/bulk.py engines)
 - fft: transform microbench with measured-peak rooflines
+- phase: per-phase latency of the nu schedules (worst-block evidence)
+- socket: loopback TCP through the pipelined audio server (RT factor)
+- extended: the df64 precision engine's floor and SNR
 
 "value" is the best path's throughput in audio samples (frames x
 channels) per second. The reference publishes no numbers (BASELINE.md), so
