@@ -898,3 +898,40 @@ def test_sharded_nu3_validation(devices):
     st = eng.init_state()
     with pytest.raises(NotImplementedError, match="rebuild"):
         eng.step_crossfade(st, co, co, np.zeros((4, 128), np.float32))
+
+
+def test_sharded_nu3_shared_coeffs_match_broadcast(devices):
+    """Shared-coefficient planes on the sharded three-stage engine: one
+    filter for all channels ([P, 2, 1, Hp] replicated over "c") matches the
+    per-channel broadcast build."""
+    rng = np.random.default_rng(66)
+    c, n = 4, 128
+    mesh = M.make_mesh(channel_shards=2, partition_shards=4)
+    from bfir_tpu.core import nonuniform as NU
+
+    r1 = r2 = 2
+    inner = NU.NuSpec(block_length=r1 * n, ratio=r2, p_head=4, p_tail=4,
+                      dtype="float32")
+    spec3 = NU.Nu3Spec(block_length=n, ratio1=r1, p_head=4, inner=inner)
+    taps = spec3.max_taps
+    spec = FilterSpec(block_length=n, n_partitions=taps // n, dtype="float32")
+    h1 = (rng.standard_normal((1, taps)) * 0.05).astype(np.float32)
+    hb = np.broadcast_to(h1, (c, taps)).copy()
+    e_sh = ShardedEngine(spec, c, mesh, local_impl="nonuniform3",
+                         nuspec=spec3, shared_coeffs=True)
+    e_bc = ShardedEngine(spec, c, mesh, local_impl="nonuniform3",
+                         nuspec=spec3)
+    assert e_sh.shared_coeffs and not e_bc.shared_coeffs
+    co_sh = e_sh.prepare_coeffs(h1)
+    co_bc = e_bc.prepare_coeffs(hb)
+    assert co_sh.head.shape[2] == 1  # one channel plane
+    st_s, st_b = e_sh.init_state(), e_bc.init_state()
+    nblocks = 2 * r1 * r2 + 3
+    x = rng.standard_normal((c, nblocks * n)).astype(np.float32)
+    for b in range(nblocks):
+        blk = x[:, b * n:(b + 1) * n]
+        st_s, o_s = e_sh.step(st_s, co_sh, blk)
+        st_b, o_b = e_bc.step(st_b, co_bc, blk)
+        scale = max(1.0, float(np.abs(np.asarray(o_b)).max()))
+        np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_b),
+                                   atol=2e-5 * scale, err_msg=f"block {b}")
