@@ -54,8 +54,15 @@ def main(argv=None):
         return jax.jit(f, donate_argnums=0)
 
     gs = [2, 4] if on_cpu else [2, 4, 8]
+    for a in argv:
+        if a.startswith("--gs="):
+            gs = [int(v) for v in a[5:].split(",")]
+    shared = "--shared" in argv
+    if shared:
+        co = NU.nu_coeffs(h[:1], spec, C, shared=True)
+        h = np.broadcast_to(h[:1], h.shape)
     # absolute check at bench scale for each G
-    ncheck = 16 * R
+    ncheck = max(16, 2 * max(gs)) * R
     xs = rng.standard_normal((C, ncheck * BLOCK)).astype(np.float32)
     blocks = jnp.asarray(xs.reshape(C, ncheck, BLOCK).transpose(1, 0, 2))
     ref = None
@@ -76,8 +83,8 @@ def main(argv=None):
         gg = max(g, 1)
         k1 = (k1_cycles * R // (gg * R) or 1) * gg * R
         k2 = (k2_cycles * R // (gg * R)) * gg * R
-        if g == 8 and not on_cpu:
-            k1, k2 = 8 * R, 24 * R
+        if g >= 8 and not on_cpu:
+            k1, k2 = gg * R, 3 * gg * R
         f = scan_for(g)
         st = NU.init_nu_state(spec, C)
         pools = {}

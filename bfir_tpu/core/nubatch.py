@@ -194,10 +194,17 @@ def step_nu_gbatch(
     hp_h = gb.head_hist.shape[-1]
     hp_t = gb.tail_hist.shape[-1]
 
+    def mac(hist, coeff, nb):
+        if use_pallas:
+            from bfir_tpu.kernels.corr_mac import corr_mac_pallas
+
+            return corr_mac_pallas(hist, coeff, nb, interpret=interpret)
+        return _corr_mac(hist, coeff, nb)
+
     # ---- head: one forward, one correlation MAC, one inverse ----
     xpk = _batch_spectrum(blocks, gb.prev_block, hp_h)
     fh = jnp.concatenate([gb.head_hist.astype(xpk.dtype), xpk], axis=0)
-    ar, ai = _corr_mac(fh, coeffs.head, gr)
+    ar, ai = mac(fh, coeffs.head, gr)
     y_head = F.irfft_hc_tail(
         ar.reshape(gr * c, hp_h), ai.reshape(gr * c, hp_h),
         n=2 * n).reshape(gr, c, n)
@@ -207,7 +214,7 @@ def step_nu_gbatch(
                .transpose(0, 2, 1, 3).reshape(g, c, m))
     txpk = _batch_spectrum(mblocks, gb.prev_mblock, hp_t)
     th = jnp.concatenate([gb.tail_hist.astype(txpk.dtype), txpk], axis=0)
-    br, bi = _corr_mac(th, coeffs.tail, g)
+    br, bi = mac(th, coeffs.tail, g)
     z = _tail_inverse(
         br.reshape(g * c, hp_t), bi.reshape(g * c, hp_t), m,
         use_pallas, interpret).reshape(g, c, m)
