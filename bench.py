@@ -59,6 +59,9 @@ def _wjit(jax_mod):
 CHANNELS = 64
 BLOCK = 1024
 PARTITIONS = 128  # 131072 taps
+GBATCH_G = 8  # M-cycles per batched bulk-scan iteration (measured best
+              # compiling point: G=8/16 within noise of each other, G=32
+              # fails remote compile — benchmarks/gbatch_probe.py)
 
 
 def snr_db(y, ref):
@@ -289,6 +292,7 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
     # Verified absolutely, then the same differential floor protocol.
     shared_floor = None
     shared_snr = None
+    co_sh = None
     try:
         co_sh = NU.nu_coeffs(hh[:1], spec, CHANNELS, shared=True)
         st = NU.init_nu_state(spec, CHANNELS)
@@ -401,8 +405,85 @@ def bench_streaming_nu(h, jnp, jax, n_iters):
                 f"{BLOCK*CHANNELS/split_floor/1e6:.0f} M samples/s")
     except Exception as e:
         log(f"nu split measurement failed ({type(e).__name__}: {e})")
-    return (sps, floor, s, shared_floor, shared_snr, i24_floor, i24_snr,
-            split_floor, split_snr)
+
+    res = {"sps": sps, "floor": floor, "snr": s,
+           "shared_floor": shared_floor, "shared_snr": shared_snr,
+           "int24_floor": i24_floor, "int24_snr": i24_snr,
+           "split_floor": split_floor, "split_snr": split_snr}
+
+    # G-CYCLE BATCHED bulk scan (r5, core/nubatch.py): each scan iteration
+    # consumes G M-cycles and runs every stage as one batched dispatch
+    # (batched forwards/inverses fill the MXU; the VMEM-resident
+    # correlation-MAC kernel reads coefficient planes once per iteration
+    # instead of once per block/fire). The fastest full-SNR schedule on
+    # the chip (TPU 2026-08-21: G=8 0.0751 ms/block = 872 M samples/s at
+    # 132.7 dB vs 0.093 per-cycle macro, same session); the offline/bulk
+    # figure of merit alongside the streaming floors above.
+    try:
+        from bfir_tpu.core import nubatch as NB
+
+        gg = 2 if on_cpu else GBATCH_G
+        scan_gb = _wjit(jax)(
+            lambda st, co_, blocks: NB.process_blocks_nu_gbatch(
+                st, co_, blocks, cycles_per_step=gg, interpret=on_cpu,
+                use_pallas=not on_cpu),
+            donate_argnums=0)
+        ncheck_gb = max(2 * gg, 16 if not on_cpu else 4) * ratio
+        xs_gb = rng.standard_normal(
+            (CHANNELS, ncheck_gb * BLOCK)).astype(np.float32)
+        blocks_gb = jnp.asarray(
+            xs_gb.reshape(CHANNELS, ncheck_gb, BLOCK).transpose(1, 0, 2))
+        ref_gb = signal.fftconvolve(
+            xs_gb.astype(np.float64), hh.astype(np.float64),
+            axes=1)[:, : ncheck_gb * BLOCK]
+        for label, co_g, rr in (
+                ("gbatch", coeffs, ref_gb),
+                ("gbatch_shared", co_sh, None)):
+            if co_g is None:
+                continue
+            st = NU.init_nu_state(spec, CHANNELS)
+            st, out = scan_gb(st, co_g, blocks_gb)
+            y = np.asarray(out).transpose(1, 0, 2).reshape(CHANNELS, -1)
+            if rr is None:
+                rr = signal.fftconvolve(
+                    xs_gb.astype(np.float64),
+                    np.broadcast_to(hh[:1], hh.shape).astype(np.float64),
+                    axes=1)[:, : y.shape[1]]
+            gsnr = worst_channel_snr(y, rr)
+            res[f"{label}_snr"] = gsnr
+            log(f"nu {label.upper()} worst-channel SNR vs scipy: "
+                f"{gsnr:.1f} dB")
+            if gsnr < 125:
+                continue
+            kg1, kg2 = (2 * gg * ratio, 6 * gg * ratio) if on_cpu else (
+                gg * ratio, 3 * gg * ratio)
+            fl = {kg1: [], kg2: []}
+            st3 = NU.init_nu_state(spec, CHANNELS)
+            gpools = {}
+            for kk in (kg1, kg2):
+                gpools[kk] = [jax.device_put(rng.standard_normal(
+                    (kk, CHANNELS, BLOCK)).astype(np.float32))
+                    for _ in range(2)]
+                jax.block_until_ready(gpools[kk])
+                t0 = time.time()
+                st3, o = scan_gb(st3, co_g, gpools[kk][0])
+                float(jnp.sum(o))
+                log(f"nu-{label} compile (K={kk}): {time.time()-t0:.1f}s")
+            for _round in range(2):
+                for kk in (kg1, kg2):
+                    for i in range(max(4, n_iters // 3)):
+                        t0 = time.time()
+                        st3, o = scan_gb(st3, co_g, gpools[kk][i % 2])
+                        float(jnp.sum(o))
+                        fl[kk].append(time.time() - t0)
+            gfloor = max((min(fl[kg2]) - min(fl[kg1])) / (kg2 - kg1), 1e-9)
+            res[f"{label}_floor"] = gfloor
+            log(f"nu {label.upper()} (G={gg}) device floor: "
+                f"{gfloor*1e3:.4f} ms/block -> "
+                f"{BLOCK*CHANNELS/gfloor/1e6:.0f} M samples/s")
+    except Exception as e:
+        log(f"nu gbatch measurement failed ({type(e).__name__}: {e})")
+    return res
 
 
 def bench_bulk(h, jnp, jax, n_iters):
@@ -1013,14 +1094,9 @@ def _run_path(which: str):
         res["backend"] = backend
         print(json.dumps(res))
     elif which == "nustream":
-        (sps, floor, s, sh_floor, sh_snr, i24_floor, i24_snr, sp_floor,
-         sp_snr) = bench_streaming_nu(h, jnp, jax,
-                                      n_iters=5 if on_cpu else 40)
-        print(json.dumps({"sps": sps, "floor": floor, "snr": s,
-                          "shared_floor": sh_floor, "shared_snr": sh_snr,
-                          "int24_floor": i24_floor, "int24_snr": i24_snr,
-                          "split_floor": sp_floor, "split_snr": sp_snr,
-                          "backend": backend}))
+        res = bench_streaming_nu(h, jnp, jax, n_iters=5 if on_cpu else 40)
+        res["backend"] = backend
+        print(json.dumps(res))
     else:
         sps, p50, p99, rt_ms, floor, s = bench_streaming(
             spec, h, jnp, jax, n_iters=5 if on_cpu else 50)
@@ -1098,11 +1174,20 @@ def main():
     if (nustream.get("split_floor")
             and (nustream.get("split_snr") or 0.0) >= 125.0):
         nu_split_sps = BLOCK * CHANNELS / nustream["split_floor"]
-    value = max(stream_sps, batch_sps, nu_sps, nu_i24_sps, nu_split_sps)
+    # the G-cycle batched bulk scan (core/nubatch.py), gated >=125 dB like
+    # every headline candidate
+    nu_gb_sps = 0.0
+    if (nustream.get("gbatch_floor")
+            and (nustream.get("gbatch_snr") or 0.0) >= 125.0):
+        nu_gb_sps = BLOCK * CHANNELS / nustream["gbatch_floor"]
+    batch_sps = max(batch_sps, nu_gb_sps)
+    value = max(stream_sps, batch_sps, nu_sps, nu_i24_sps, nu_split_sps,
+                nu_gb_sps)
     mode = {stream_sps: "streaming", uniform_batch_sps: "batch",
             bulk_sps: "bulk-render", nu_sps: "nonuniform-streaming",
             nu_i24_sps: "nonuniform-streaming-int24",
-            nu_split_sps: "nonuniform-split-streaming"}[value]
+            nu_split_sps: "nonuniform-split-streaming",
+            nu_gb_sps: "nonuniform-gbatch-bulk"}[value]
     realtime = 44100.0 * CHANNELS
     print(json.dumps({
         "metric": "audio samples/sec/chip, 64ch x 131072-tap partitioned conv "
@@ -1153,6 +1238,22 @@ def main():
                          if nustream.get("int24_floor") else None),
         "nu_int24_snr_db": (round(nustream["int24_snr"], 1)
                             if nustream.get("int24_snr") is not None else None),
+        "nu_gbatch_floor_ms": (round(nustream["gbatch_floor"] * 1e3, 4)
+                               if nustream.get("gbatch_floor") else None),
+        "nu_gbatch_sps": (round(BLOCK * CHANNELS / nustream["gbatch_floor"], 1)
+                          if nustream.get("gbatch_floor") else None),
+        "nu_gbatch_snr_db": (round(nustream["gbatch_snr"], 1)
+                             if nustream.get("gbatch_snr") is not None
+                             else None),
+        "nu_gbatch_shared_floor_ms": (
+            round(nustream["gbatch_shared_floor"] * 1e3, 4)
+            if nustream.get("gbatch_shared_floor") else None),
+        "nu_gbatch_shared_sps": (
+            round(BLOCK * CHANNELS / nustream["gbatch_shared_floor"], 1)
+            if nustream.get("gbatch_shared_floor") else None),
+        "nu_gbatch_shared_snr_db": (
+            round(nustream["gbatch_shared_snr"], 1)
+            if nustream.get("gbatch_shared_snr") is not None else None),
         "nu_fire_phase_ms": (round(phase["std"]["fire_ms"], 4)
                              if phase.get("std") else None),
         "nu_split_worst_phase_ms": (round(phase["split"]["worst_ms"], 4)

@@ -7,10 +7,14 @@ schedule) and per-block dispatches. Offline rendering has NO latency
 constraint — the whole input exists up front — so the optimal geometry is
 different. Two engines, selection measured on the target TPU:
 
-- LONG filters (>= ``NU_BULK_MIN_TAPS``): the split-tail non-uniform scan
-  with the int24 tail store — the fastest verified >=125 dB schedule on
-  the chip (r5: 0.0796-0.092 ms per 1024-frame block across tunnel
-  windows).
+- LONG filters (>= ``NU_BULK_MIN_TAPS``): on TPU, the G-cycle batched
+  bulk scan (``core.nubatch``, G=8) — every stage one batched dispatch,
+  coefficient planes read once per iteration; the fastest verified
+  >=125 dB schedule on the chip (r5: 0.0751 ms per 1024-frame block =
+  872 M samples/s at 132.7 dB vs the split-tail scan's 0.0876 same
+  session). On CPU, the split-tail non-uniform scan (measured better
+  there than the per-cycle macro; the XLA:CPU gbatch graph is within
+  noise of it).
 - shorter filters: re-partition at a large block size M (fewer, fatter
   partitions) and run the batched block-axis-FFT formulation
   (``core.convolver.process_batch``) over many M-blocks per dispatch.
@@ -98,6 +102,9 @@ def bulk_geometry(taps: int, dtype: str = "float32",
 # doesn't apply (the head would cover the filter) and the batched form is
 # the right engine.
 NU_BULK_MIN_TAPS = 65536
+GBATCH_CYCLES = 8  # M-cycles per batched-scan iteration (measured best;
+                   # benchmarks/gbatch_probe.py — G=16 regresses, G=32
+                   # fails the remote compile)
 
 
 class BulkRenderer:
@@ -116,7 +123,7 @@ class BulkRenderer:
     def __init__(self, impulse, n_channels: int, scale: float = 1.0,
                  dtype: str = "float32", spec: Optional[BulkSpec] = None,
                  jit_wrap=None, store: str = "auto",
-                 block_length: int = 1024):
+                 block_length: int = 1024, nu_engine: str = "auto"):
         impulse = np.atleast_2d(np.asarray(impulse))
         taps = impulse.shape[-1]
         self.n_channels = n_channels
@@ -131,26 +138,43 @@ class BulkRenderer:
             import jax as _jax
 
             interp = _jax.default_backend() == "cpu"
+            # TPU: the G-cycle batched bulk scan at f32 (measured best,
+            # 0.0751 ms/block at 132.7 dB — beats split+int24's 0.0876,
+            # r5 same-session). CPU: the split-tail scan (its measured
+            # pick there); explicit int stores also keep the split scan
+            # (the batched scan is float-plane only).
             if store == "auto":
-                # the measured best >=125 dB configuration (r5 TPU: split
-                # schedule + int24 tail = 0.0796 ms/block, 823 M samples/s,
-                # 132.6 dB vs f32's 0.0828/133.0)
-                store = "float32" if interp else "int24"
+                store = "float32"
+            if nu_engine == "auto":
+                nu_engine = ("gbatch"
+                             if not interp and store == "float32"
+                             else "split")
+            if nu_engine == "gbatch" and store != "float32":
+                raise ValueError(
+                    "nu_engine='gbatch' is float-plane only; use "
+                    "store='float32'")
+            self._nu_engine = nu_engine
             self._nuspec = NU.nu_geometry(taps, block_length, ratio=8,
                                           dtype=dtype, tail_store=store)
             self.spec = None
             self._co = NU.nu_coeffs(impulse, self._nuspec, n_channels,
                                     scale=scale)
-            # the split-tail scan: measured FASTER than the macro scan on
-            # the TPU (0.0828 vs 0.0913 ms/block at f32 — its phases
-            # overlap the tail work with head work better than the
-            # monolithic fire) and latency-smooth by construction
-            self._call = jj(
-                lambda st, co, blocks: NU.process_blocks_nu_split(
-                    st, co, blocks, interpret=interp,
-                    use_pallas=not interp),
-                donate_argnums=0,
-            )
+            if self._nu_engine == "gbatch":
+                from bfir_tpu.core import nubatch as NB
+
+                self._call = jj(
+                    lambda st, co, blocks: NB.process_blocks_nu_gbatch(
+                        st, co, blocks, cycles_per_step=GBATCH_CYCLES,
+                        interpret=interp, use_pallas=not interp),
+                    donate_argnums=0,
+                )
+            else:
+                self._call = jj(
+                    lambda st, co, blocks: NU.process_blocks_nu_split(
+                        st, co, blocks, interpret=interp,
+                        use_pallas=not interp),
+                    donate_argnums=0,
+                )
             return
         self.spec = spec or bulk_geometry(taps, dtype)
         fspec = self.spec.filter_spec
@@ -203,9 +227,11 @@ class BulkRenderer:
         n = sp.block_length
         # one dispatch = 24 M-cycles (~192 blocks at the default geometry:
         # big enough to amortize a sick tunnel's round-trip, small enough
-        # to bound the resident input/output slabs)
+        # to bound the resident input/output slabs; a multiple of
+        # GBATCH_CYCLES so the batched engine's iterations tile it)
         step = 24 * sp.ratio * n
-        state = NU.init_nu_split_state(sp, c)
+        state = (NU.init_nu_state(sp, c) if self._nu_engine == "gbatch"
+                 else NU.init_nu_split_state(sp, c))
         dt = np.dtype(sp.dtype)
         n_disp = -(-max(t, 1) // step)
         pad = n_disp * step - t

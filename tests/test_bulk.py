@@ -242,3 +242,32 @@ def test_bulk_renderer_nu_multi_dispatch_state_threads(monkeypatch):
     y = r.render(x)
     assert y.shape == x.shape
     assert snr_db(y, _oracle(x, h)) > 110
+
+
+def test_bulk_renderer_gbatch_engine_matches_scipy(monkeypatch):
+    """The TPU-default G-cycle batched engine (forced on CPU via
+    nu_engine='gbatch'): exactness and multi-dispatch state threading."""
+    from bfir_tpu.core import bulk as BK
+
+    monkeypatch.setattr(BK, "NU_BULK_MIN_TAPS", 4000)
+    rng = np.random.default_rng(22)
+    c, taps = 2, 4608
+    h = (rng.standard_normal((c, taps)) * 0.1).astype(np.float32)
+    r = BK.BulkRenderer(h, c, dtype="float32", block_length=128,
+                        nu_engine="gbatch")
+    assert r._nu_engine == "gbatch"
+    step = 24 * r._nuspec.ratio * r._nuspec.block_length
+    x = rng.standard_normal((c, step + 999)).astype(np.float32)
+    y = r.render(x)
+    assert y.shape == x.shape
+    assert snr_db(y, _oracle(x, h)) > 110
+
+
+def test_bulk_renderer_gbatch_rejects_int_store():
+    from bfir_tpu.core import bulk as BK
+
+    h = np.zeros((2, 70000), np.float32)
+    h[:, 0] = 1.0
+    with pytest.raises(ValueError, match="float-plane only"):
+        BK.BulkRenderer(h, 2, dtype="float32", store="int24",
+                        nu_engine="gbatch")
