@@ -157,8 +157,14 @@ class BulkRenderer:
             self._nuspec = NU.nu_geometry(taps, block_length, ratio=8,
                                           dtype=dtype, tail_store=store)
             self.spec = None
+            # one filter for every channel (EQ-only chains): the batched
+            # engine's correlation kernel broadcasts [P, 2, Hp] shared
+            # planes in-register — 1/C the coefficient HBM traffic
+            # (TPU r5: 0.0576 vs 0.0759 ms/block = 1.14 G samples/s)
+            shared = (self._nu_engine == "gbatch"
+                      and impulse.shape[0] == 1 and n_channels > 1)
             self._co = NU.nu_coeffs(impulse, self._nuspec, n_channels,
-                                    scale=scale)
+                                    scale=scale, shared=shared)
             if self._nu_engine == "gbatch":
                 from bfir_tpu.core import nubatch as NB
 

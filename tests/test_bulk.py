@@ -271,3 +271,22 @@ def test_bulk_renderer_gbatch_rejects_int_store():
     with pytest.raises(ValueError, match="float-plane only"):
         BK.BulkRenderer(h, 2, dtype="float32", store="int24",
                         nu_engine="gbatch")
+
+
+def test_bulk_renderer_gbatch_shared_planes(monkeypatch):
+    """A one-row impulse with C>1 builds broadcast [P, 2, Hp] coefficient
+    planes on the gbatch engine (1/C coefficient traffic) — output still
+    the per-channel exact convolution."""
+    from bfir_tpu.core import bulk as BK
+
+    monkeypatch.setattr(BK, "NU_BULK_MIN_TAPS", 4000)
+    rng = np.random.default_rng(23)
+    c, taps = 3, 4608
+    h = (rng.standard_normal((1, taps)) * 0.1).astype(np.float32)
+    r = BK.BulkRenderer(h, c, dtype="float32", block_length=128,
+                        nu_engine="gbatch")
+    assert r._co.head.shape[1] == 2  # shared planes, not 2*C
+    x = rng.standard_normal((c, 20000)).astype(np.float32)
+    y = r.render(x)
+    hb = np.broadcast_to(h, (c, taps))
+    assert snr_db(y, _oracle(x, hb)) > 110
