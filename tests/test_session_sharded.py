@@ -29,6 +29,22 @@ def cache(tmp_path):
     return ArtifactCache(str(tmp_path / "profile"))
 
 
+@pytest.fixture(autouse=True)
+def _fresh_compile_caches(request):
+    """The sharded-session tests compile 8-device shard_map graphs; XLA's
+    CPU compiler has hard-aborted the xdist worker at exactly this group
+    when hundreds of executables had accumulated in-process (the same
+    tests pass serially — CLAUDE.md documents the segfault class).
+    Dropping the in-process caches before each sharded-NU test keeps the
+    compiler arena small, the same defense test_nonuniform.py uses for
+    the split-engine graphs."""
+    import jax
+
+    if "nonuniform" in request.node.name or "nu_" in request.node.name:
+        jax.clear_caches()
+    yield
+
+
 def save_impulse(tmp_path, name, imp, rate=44100):
     p = str(tmp_path / name)
     wavio.write(p, np.asarray(imp).T, rate, subtype="float64")
